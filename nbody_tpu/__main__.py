@@ -1,0 +1,76 @@
+"""CLI entry point.
+
+Positional-argument compatible with the reference binaries:
+    python -m nbody_tpu [N] [nsteps] [device] [cpu_ratio] [dim0 dim1]
+(ver0/main.cpp:25-46; extended form ver5_all/main.cpp:23-66: the device
+token is echoed to stdout, cpu_ratio is accepted for CLI parity, and the
+thread dims map onto kernel tile sizes).
+
+TPU-native options replace the reference's compile-time #define matrix:
+    --kernel {naive,pallas,auto}   force-kernel backend (ARCH= analog)
+    --precision {f32,bf16,ref64}   numeric mode (ref64 = bit-exact oracle)
+    --shards K --comm {allgather,ring}   GSPMD particle decomposition
+    --tile-i/--tile-j              Pallas tile sizes
+    --platform cpu                 pin to host backend
+    --profile-dir DIR              dump a jax.profiler trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import SimConfig
+from .simulation import Simulation
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("n", nargs="?", type=int, default=2000)
+    p.add_argument("nsteps", nargs="?", type=int, default=500)
+    p.add_argument("device", nargs="?", default=None,
+                   help="cpu|gpu|tpu|cpu+gpu (reference CLI parity)")
+    p.add_argument("cpu_ratio", nargs="?", type=float, default=None)
+    p.add_argument("dim0", nargs="?", type=int, default=0)
+    p.add_argument("dim1", nargs="?", type=int, default=0)
+    p.add_argument("--kernel", default="auto",
+                   choices=["naive", "pallas", "auto"])
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "bf16", "ref64"])
+    p.add_argument("--tile-i", type=int, default=0)
+    p.add_argument("--tile-j", type=int, default=0)
+    p.add_argument("--shards", type=int, default=1)
+    p.add_argument("--comm", default="allgather", choices=["allgather", "ring"])
+    p.add_argument("--sfreq", type=int, default=50)
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--profile-dir", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = SimConfig(
+        n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
+        kernel=args.kernel, tile_i=args.tile_i or args.dim0,
+        tile_j=args.tile_j or args.dim1, precision=args.precision,
+        shards=args.shards, comm=args.comm, platform=args.platform,
+        profile_dir=args.profile_dir,
+    )
+    sim = Simulation(cfg)
+    if args.device is not None:
+        # The reference echoes the device token (ver5_all/main.cpp:42).
+        print(args.device)
+        if args.device == "cpu":
+            cfg.platform = "cpu"
+    if args.cpu_ratio is not None:
+        sim.set_cpu_ratio(args.cpu_ratio)
+    sim.start()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""Run configuration.
+
+Replaces the reference's positional-argv + compile-time #define matrix
+(SIMD/ASALIGN/USE_MPI/... across ver*/Makefile and ver5_all/Makefile:1-100)
+with one dataclass.  Defaults mirror the reference ctor
+(ver0/GSimulation.cpp:24-32): N=2000, 500 steps, dt=0.1, sample freq 50.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SimConfig:
+    n: int = 2000
+    nsteps: int = 500
+    dt: float = 0.1
+    sfreq: int = 50
+
+    # Kernel selection (the ver5_all ARCH= backend seam, runtime-switchable).
+    kernel: str = "auto"  # naive | pallas | auto
+    tile_i: int = 0  # 0 = kernel default
+    tile_j: int = 0
+    precision: str = "f32"  # f32 | bf16 | ref64 (bit-exact host oracle)
+
+    # Parallelism (the USE_MPI axis, as GSPMD sharding).
+    shards: int = 1
+    comm: str = "allgather"  # allgather | ring
+
+    # Placement: None = default accelerator; "cpu" pins to host backend.
+    platform: Optional[str] = None
+
+    # Diagnostics.
+    profile_dir: Optional[str] = None
+
+    def kernel_opts(self) -> dict:
+        opts = {}
+        if self.kernel == "pallas" or (self.kernel == "auto"):
+            if self.tile_i:
+                opts["tile_i"] = self.tile_i
+            if self.tile_j:
+                opts["tile_j"] = self.tile_j
+        if self.precision == "bf16":
+            opts["dist_dtype"] = "bfloat16"
+        return opts
+
+    def pad_multiple(self) -> int:
+        """Particle-count padding needed by kernel tiles and sharding."""
+        import math
+
+        from .ops.pallas_kernel import DEFAULT_TILE_I, DEFAULT_TILE_J
+
+        ti = self.tile_i or DEFAULT_TILE_I
+        tj = self.tile_j or DEFAULT_TILE_J
+        if self.kernel == "naive":
+            ti = tj = 1
+        return math.lcm(ti, tj) * max(1, self.shards)

@@ -1,0 +1,226 @@
+"""The simulation engine — GSimulation analog.
+
+Owns the run lifecycle the reference's ``GSimulation::start()`` owns
+(ver0/GSimulation.cpp:95-213): allocate + initialize state, print the
+header, run the sample-block loop with per-block timing and GFlop/s stats,
+print the footer.  Differences are deliberate TPU-first design:
+
+* the entire sample block (sfreq steps) is one jitted on-device
+  ``lax.fori_loop``; the host syncs once per block (the reference's GPU
+  backends instead cross PCIe six times per step,
+  ver5_all/programming_models/cuda/Compute.cu:152-166);
+* compilation happens ahead-of-time, before the clock starts;
+* ``precision='ref64'`` routes through the bit-exact host oracle so the
+  printed kenergy column reproduces the compiled C++ reference exactly.
+
+The GFlop/s statistics replicate the reference's: per-block
+``gflops*sfreq/block_seconds`` with running mean/stddev that exclude the
+first two sample blocks (ver0/GSimulation.cpp:186-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .config import SimConfig
+from .init import make_state, reference_init_arrays
+from .models.gravity import make_accel_fn, make_block_fn
+from .state import ParticleState
+from .utils import reporting
+from .utils.flops import step_gflops
+from .utils.timer import WallTime
+
+
+@dataclasses.dataclass
+class RunResult:
+    samples: List[Tuple[int, float, float, float, float]]
+    # each: (step, phys_time, kenergy, block_seconds, block_gflops)
+    total_time: float
+    av: float
+    dev: float
+    nthreads: int
+
+    @property
+    def kenergy_trace(self) -> List[Tuple[int, float]]:
+        return [(s, ke) for (s, _, ke, _, _) in self.samples]
+
+
+class _BlockRunner:
+    """Produces (state, kenergy) per sample block; pluggable per precision."""
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+
+    def prepare(self) -> None:  # compile / allocate before the clock starts
+        raise NotImplementedError
+
+    def run_block(self, steps: int) -> float:  # returns kenergy, advances state
+        raise NotImplementedError
+
+
+class _DeviceRunner(_BlockRunner):
+    def __init__(self, cfg: SimConfig):
+        super().__init__(cfg)
+        self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+        self.state: Optional[ParticleState] = None
+        self._blocks = {}
+
+    def prepare(self) -> None:
+        cfg = self.cfg
+        state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+        if cfg.platform:
+            dev = jax.local_devices(backend=cfg.platform)[0]
+            state = jax.device_put(state, dev)
+        if cfg.shards > 1:
+            from .parallel.decompose import shard_state, make_sharded_block_fn
+
+            state, mesh = shard_state(state, cfg.shards)
+            self._block_for = lambda steps: self._cached(
+                steps,
+                lambda: make_sharded_block_fn(
+                    self.accel_fn, cfg.dt, steps, mesh, comm=cfg.comm
+                ),
+            )
+        else:
+            self._block_for = lambda steps: self._cached(
+                steps, lambda: make_block_fn(self.accel_fn, cfg.dt, steps)
+            )
+        self.state = state
+        # Warm-up call (compiles and runs one block, result discarded) so
+        # the timed loop never pays compilation; state is immutable so the
+        # warm-up does not advance the simulation.
+        main = self._block_for(min(cfg.sfreq, cfg.nsteps))
+        jax.block_until_ready(main(state))
+
+    def _cached(self, steps: int, build: Callable):
+        if steps not in self._blocks:
+            self._blocks[steps] = build()
+        return self._blocks[steps]
+
+    def run_block(self, steps: int) -> float:
+        fn = self._block_for(steps)
+        self.state, ke = fn(self.state)
+        return float(jax.block_until_ready(ke))
+
+
+class _OracleRunner(_BlockRunner):
+    """Bit-exact ver0-semantics host runner (see oracle.py)."""
+
+    def prepare(self) -> None:
+        from . import oracle  # noqa: F401  (import check)
+
+        self.pos, self.vel, self.mass = reference_init_arrays(self.cfg.n)
+        self.ke = np.float32(0.0)
+
+    def run_block(self, steps: int) -> float:
+        from .oracle import step_ref64
+
+        for _ in range(steps):
+            self.pos, self.vel, self.ke = step_ref64(
+                self.pos, self.vel, self.mass, self.cfg.dt
+            )
+        return float(self.ke)
+
+
+def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
+    emit = (lambda *_: None) if quiet else reporting._emit
+
+    runner: _BlockRunner
+    if cfg.precision == "ref64":
+        runner = _OracleRunner(cfg)
+    else:
+        runner = _DeviceRunner(cfg)
+    runner.prepare()
+
+    emit(reporting.header(cfg.n, cfg.nsteps, cfg.dt), out)
+
+    gflops = step_gflops(cfg.n)
+    timer = WallTime()
+    samples: List[Tuple[int, float, float, float, float]] = []
+    av = 0.0
+    dev = 0.0
+    nf = 0
+
+    profile_ctx = None
+    if cfg.profile_dir:
+        profile_ctx = jax.profiler.trace(cfg.profile_dir)
+        profile_ctx.__enter__()
+
+    t0 = timer.start()
+    s = 0
+    while s < cfg.nsteps:
+        steps = min(cfg.sfreq, cfg.nsteps - s)
+        b0 = timer.start()
+        ke = runner.run_block(steps)
+        b1 = timer.stop()
+        s += steps
+        if steps == cfg.sfreq and s % cfg.sfreq == 0:
+            nf += 1
+            block_secs = b1 - b0
+            block_gf = gflops * cfg.sfreq / block_secs
+            t_phys = float(np.float32(s) * np.float32(cfg.dt))
+            samples.append((s, t_phys, ke, block_secs, block_gf))
+            emit(reporting.stats_row(s, t_phys, ke, block_secs, block_gf), out)
+            if nf > 2:
+                av += block_gf
+                dev += block_gf * block_gf
+    t1 = timer.stop()
+
+    if profile_ctx:
+        profile_ctx.__exit__(None, None, None)
+
+    total = t1 - t0
+    if nf > 2:
+        av /= nf - 2
+        dev = math.sqrt(max(dev / (nf - 2) - av * av, 0.0))
+    else:
+        av = dev = float("nan")
+
+    nthreads = cfg.shards if cfg.shards > 1 else 1
+    emit(reporting.footer(nthreads, total, av, dev), out)
+    return RunResult(samples, total, av, dev, nthreads)
+
+
+class Simulation:
+    """Class-style facade mirroring the reference's GSimulation public API
+    (ver0/GSimulation.hpp:36-80; ver5_all/GSimulation.hpp:40-65)."""
+
+    def __init__(self, config: Optional[SimConfig] = None, quiet: bool = False):
+        self.config = config or SimConfig()
+        self._quiet = quiet
+        if not quiet:
+            reporting.print_banner()
+        self.result: Optional[RunResult] = None
+
+    def set_number_of_particles(self, n: int) -> None:
+        self.config.n = n
+
+    def set_number_of_steps(self, nsteps: int) -> None:
+        self.config.nsteps = nsteps
+
+    # ver5_all extensions (ver5_all/GSimulation.hpp:51-58).  Device counts
+    # and CPU/GPU work ratios are meaningless on a homogeneous TPU mesh;
+    # thread dims map onto kernel tile sizes.
+    def set_devices(self, n: int) -> None:
+        self._devices = n
+
+    def set_cpu_ratio(self, ratio: float) -> None:
+        self._cpu_ratio = ratio
+
+    def set_thread_dim0(self, d: int) -> None:
+        if d > 0:
+            self.config.tile_i = d
+
+    def set_thread_dim1(self, d: int) -> None:
+        if d > 0:
+            self.config.tile_j = d
+
+    def start(self) -> RunResult:
+        self.result = run(self.config, quiet=self._quiet)
+        return self.result

@@ -1,0 +1,73 @@
+"""Stdout reporting, byte-compatible with the reference's table.
+
+The reference prints with sticky ``std::setprecision(5)`` and left-aligned
+``setw`` columns (ver0/GSimulation.cpp:176-234; refactored as
+print_header/print_stats/print_flops in ver5_all/GSimulation.cpp:117-168).
+The kenergy column of this table is the cross-implementation comparison
+artifact, so the format is reproduced exactly — including the reference's
+"Perfomance" spelling and the C++ iostream rendering of NaN as "-nan"
+(which the reference emits when fewer than three sample blocks ran)."""
+
+from __future__ import annotations
+
+import math
+
+
+def _g5(v: float) -> str:
+    """C++ ostream default-float rendering at precision 5 (printf %.5g)."""
+    if isinstance(v, float) and math.isnan(v):
+        return "-nan"
+    return f"{v:.5g}"
+
+
+def banner() -> str:
+    return "===============================\n Initialize Gravity Simulation"
+
+
+def print_banner(out=None) -> None:
+    _emit(banner(), out)
+
+
+def header(n: int, nsteps: int, dt: float) -> str:
+    lines = [
+        f" nPart = {n}; nSteps = {nsteps}; dt = {dt:g}",
+        "-" * 48,
+        " " + "s".ljust(8) + "dt".ljust(8) + "kenergy".ljust(12)
+        + "time (s)".ljust(12) + "GFlops".ljust(12),
+        "-" * 48,
+    ]
+    return "\n".join(lines)
+
+
+def stats_row(s: int, t_phys: float, kenergy: float, seconds: float,
+              gflops: float) -> str:
+    return (
+        " "
+        + str(s).ljust(8)
+        + _g5(t_phys).ljust(8)
+        + _g5(kenergy).ljust(12)
+        + _g5(seconds).ljust(12)
+        + _g5(gflops).ljust(12)
+    )
+
+
+def footer(nthreads: int, total_time: float, av: float, dev: float) -> str:
+    return (
+        "\n"
+        f"# Number Threads     : {nthreads}\n"
+        f"# Total Time (s)     : {_g5(total_time)}\n"
+        f"# Average Perfomance : {_g5(av)} +- {_g5(dev)}\n"
+        + "=" * 31
+    )
+
+
+def _emit(text: str, out=None) -> None:
+    if out is None:
+        print(text, flush=True)
+    else:
+        out.write(text + "\n")
+
+
+print_header = lambda n, nsteps, dt, out=None: _emit(header(n, nsteps, dt), out)
+print_stats = lambda *a, **kw: _emit(stats_row(*a), kw.get("out"))
+print_flops = lambda *a, **kw: _emit(footer(*a), kw.get("out"))
