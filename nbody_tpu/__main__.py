@@ -53,19 +53,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu" or args.device == "cpu":
+        from .utils.platform import force_cpu
+
+        force_cpu(args.shards if args.shards > 1 else None)
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, precision=args.precision,
-        shards=args.shards, comm=args.comm, platform=args.platform,
+        shards=args.shards, comm=args.comm,
+        platform=args.platform or ("cpu" if args.device == "cpu" else None),
         profile_dir=args.profile_dir,
     )
     sim = Simulation(cfg)
     if args.device is not None:
         # The reference echoes the device token (ver5_all/main.cpp:42).
         print(args.device)
-        if args.device == "cpu":
-            cfg.platform = "cpu"
     if args.cpu_ratio is not None:
         sim.set_cpu_ratio(args.cpu_ratio)
     sim.start()

@@ -94,34 +94,34 @@ def pack_particles(pos: jax.Array, mass: jax.Array) -> jax.Array:
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_i", "tile_j", "dist_dtype", "interpret")
-)
-def accelerations(
-    pos: jax.Array,
-    mass: jax.Array,
+def accelerations_between(
+    pos_tgt: jax.Array,
+    pos_src: jax.Array,
+    mass_src: jax.Array,
     tile_i: int = DEFAULT_TILE_I,
     tile_j: int = DEFAULT_TILE_J,
     dist_dtype: str = "float32",
     interpret: bool = False,
 ) -> jax.Array:
-    """All-pairs accelerations via the tiled Pallas kernel.
+    """Accelerations of targets due to sources via the tiled Pallas kernel.
 
-    pos (3, N) f32, mass (N,) f32 -> (3, N) f32.  N must be divisible by
-    both tile sizes (pad with zero-mass particles; see state.pad_state).
+    pos_tgt (3, Nt), pos_src (3, Ns), mass_src (Ns,) -> (3, Nt) fp32.
+    Nt/Ns must be divisible by tile_i/tile_j respectively (pad with
+    zero-mass particles; see state.pad_state).
     """
-    n = pos.shape[1]
-    ti = min(tile_i, n)
-    tj = min(tile_j, n)
-    if n % ti or n % tj:
+    nt = pos_tgt.shape[1]
+    ns = pos_src.shape[1]
+    ti = min(tile_i, nt)
+    tj = min(tile_j, ns)
+    if nt % ti or ns % tj:
         raise ValueError(
-            f"padded particle count {n} must be divisible by tiles ({ti},{tj})"
+            f"particle counts ({nt},{ns}) must be divisible by tiles ({ti},{tj})"
         )
-    ps = pack_particles(pos, mass)
-    pst = ps.T  # (N, 8) column-major copy for transpose-free j-tiles
+    ps_i = pack_particles(pos_tgt, jnp.zeros((nt,), jnp.float32))
+    ps_jt = pack_particles(pos_src, mass_src).T  # (Ns, 8) column-major
 
     ddt = jnp.dtype(dist_dtype)
-    grid = (n // ti, n // tj)
+    grid = (nt // ti, ns // tj)
     flops_per_pair = 20 if ddt == jnp.float32 else 23
     out = pl.pallas_call(
         functools.partial(_nbody_kernel, dist_dtype=ddt),
@@ -133,15 +133,20 @@ def accelerations(
         out_specs=pl.BlockSpec(
             (8, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, nt), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n * n,
-            bytes_accessed=(n * n // ti) * 32 + n * 64,
-            transcendentals=n * n,
+            flops=flops_per_pair * nt * ns,
+            bytes_accessed=(nt * ns // ti) * 32 + (nt + ns) * 64,
+            transcendentals=nt * ns,
         ),
         interpret=interpret,
-    )(ps, pst)
+    )(ps_i, ps_jt)
     return out[0:3, :]
+
+
+def accelerations(pos: jax.Array, mass: jax.Array, **opts) -> jax.Array:
+    """All-pairs self-accelerations. pos (3,N), mass (N,) -> (3,N)."""
+    return accelerations_between(pos, pos, mass, **opts)

@@ -21,21 +21,36 @@ from . import naive, pallas_kernel
 
 KernelFn = Callable[..., jax.Array]
 
-_REGISTRY: Dict[str, KernelFn] = {}
+# name -> (self_accelerations, accelerations_between)
+_REGISTRY: Dict[str, tuple[KernelFn, KernelFn]] = {}
 
 
-def register(name: str, fn: KernelFn) -> None:
-    _REGISTRY[name] = fn
+def register(name: str, self_fn: KernelFn, between_fn: KernelFn) -> None:
+    _REGISTRY[name] = (self_fn, between_fn)
 
 
 def available() -> tuple[str, ...]:
     return tuple(sorted(_REGISTRY)) + ("auto",)
 
 
-def get(name: str) -> KernelFn:
+def resolve(name: str) -> str:
     if name == "auto":
-        platform = jax.default_backend()
-        name = "pallas" if platform == "tpu" else "naive"
+        return "pallas" if jax.default_backend() == "tpu" else "naive"
+    return name
+
+
+def get(name: str) -> KernelFn:
+    """Self-acceleration kernel: fn(pos (3,N), mass (N,), **opts) -> (3,N)."""
+    return _lookup(name)[0]
+
+
+def get_between(name: str) -> KernelFn:
+    """Target/source kernel: fn(pos_tgt, pos_src, mass_src, **opts)."""
+    return _lookup(name)[1]
+
+
+def _lookup(name: str):
+    name = resolve(name)
     try:
         return _REGISTRY[name]
     except KeyError:
@@ -44,5 +59,5 @@ def get(name: str) -> KernelFn:
         ) from None
 
 
-register("naive", naive.accelerations)
-register("pallas", pallas_kernel.accelerations)
+register("naive", naive.accelerations, naive.accelerations_between)
+register("pallas", pallas_kernel.accelerations, pallas_kernel.accelerations_between)

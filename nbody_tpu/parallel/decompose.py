@@ -1,0 +1,139 @@
+"""GSPMD particle decomposition — the TPU-native replacement for the
+reference's MPI layer (ver5_all/GSimulation.cpp:93-214).
+
+The reference's distributed step is replicated-state/partitioned-compute:
+rank 0 broadcasts all nine state arrays every step (``mpi_bcast_all``
+:170-189), each rank computes accelerations for its i-slice
+(cpu/Compute.cpp:47-58), and a Gatherv collects slices back (:191-214).
+Here state is *persistently sharded* over the particle axis of a 1-D mesh
+and never round-trips through a root:
+
+* ``comm='allgather'`` — each shard all-gathers positions+masses once per
+  step and computes forces for its local i-slice (the Bcast analog, but
+  peer-to-peer over ICI and fused into the jitted step).
+* ``comm='ring'``      — positions stay sharded; a K-1-hop ``ppermute``
+  ring streams each source block through every shard while the pair
+  kernel consumes the previous block, so per-shard working memory is
+  O(N/K) and comm overlaps compute (the scalable path; SURVEY.md §2.4).
+
+Zero-mass padding makes every shard equal-sized, sidestepping the
+reference's broken ``n % world_size`` remainder handling
+(cpu/Compute.cpp:50-51 vs GSimulation.cpp:198-201).
+
+The kinetic-energy diagnostic is a local reduction + ``psum`` (the
+Gatherv analog, collapsed to a scalar).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..state import ParticleState
+from .mesh import AXIS, make_mesh
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def state_specs() -> ParticleState:
+    """PartitionSpecs for a particle-sharded ParticleState."""
+    return ParticleState(
+        pos=P(None, AXIS), vel=P(None, AXIS), mass=P(AXIS), n=0
+    )
+
+
+def shard_state(
+    state: ParticleState, shards: int, mesh: Mesh = None
+) -> Tuple[ParticleState, Mesh]:
+    """Place a (padded) state onto a ``shards``-device mesh, particle-sharded."""
+    if mesh is None:
+        mesh = make_mesh(shards)
+    if state.n_padded % shards:
+        raise ValueError(
+            f"padded count {state.n_padded} not divisible by {shards} shards"
+        )
+    specs = state_specs()
+    sharded = ParticleState(
+        pos=jax.device_put(state.pos, NamedSharding(mesh, specs.pos)),
+        vel=jax.device_put(state.vel, NamedSharding(mesh, specs.vel)),
+        mass=jax.device_put(state.mass, NamedSharding(mesh, specs.mass)),
+        n=state.n,
+    )
+    return sharded, mesh
+
+
+def _accel_allgather(between_fn, pos_l, mass_l):
+    pos_all = lax.all_gather(pos_l, AXIS, axis=1, tiled=True)
+    mass_all = lax.all_gather(mass_l, AXIS, axis=0, tiled=True)
+    return between_fn(pos_l, pos_all, mass_all)
+
+
+def _accel_ring(between_fn, pos_l, mass_l):
+    """Ring-streamed sources: K-1 ppermute hops, compute on the in-hand
+    block while the next hop is in flight (XLA overlaps the async
+    collective with the pair kernel)."""
+    k = lax.axis_size(AXIS)
+    perm = [(i, (i + 1) % k) for i in range(k)]
+    buf = jnp.concatenate([pos_l, mass_l[None, :]], axis=0)  # (4, Nl)
+    acc = between_fn(pos_l, buf[0:3], buf[3])
+    for _ in range(k - 1):
+        buf = lax.ppermute(buf, AXIS, perm)
+        acc = acc + between_fn(pos_l, buf[0:3], buf[3])
+    return acc
+
+
+_ACCEL_MODES = {"allgather": _accel_allgather, "ring": _accel_ring}
+
+
+def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
+                          block_steps: int, mesh: Mesh, comm: str = "allgather"):
+    """Jitted sample block over a particle-sharded state: advances
+    ``block_steps`` steps fully on device and returns (state, kenergy)."""
+    from ..ops import registry
+
+    between_fn = registry.get_between(kernel_name)
+    if kernel_opts:
+        between_fn = functools.partial(between_fn, **kernel_opts)
+    try:
+        accel_mode = _ACCEL_MODES[comm]
+    except KeyError:
+        raise ValueError(
+            f"unknown comm mode {comm!r}; options: {sorted(_ACCEL_MODES)}"
+        ) from None
+
+    dtf = jnp.float32(dt)
+
+    def block(pos, vel, mass):
+        def step(_, carry):
+            p, v = carry
+            acc = accel_mode(between_fn, p, mass)
+            v = v + acc * dtf
+            p = p + v * dtf
+            return (p, v)
+
+        pos, vel = lax.fori_loop(0, block_steps, step, (pos, vel))
+        v2 = vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]
+        ke = lax.psum(jnp.float32(0.5) * jnp.sum(mass * v2), AXIS)
+        return pos, vel, ke
+
+    sharded = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS), P()),
+    )
+    jitted = jax.jit(sharded)
+
+    def run(state: ParticleState):
+        pos, vel, ke = jitted(state.pos, state.vel, state.mass)
+        return ParticleState(pos=pos, vel=vel, mass=state.mass, n=state.n), ke
+
+    return run

@@ -84,7 +84,8 @@ class _DeviceRunner(_BlockRunner):
             self._block_for = lambda steps: self._cached(
                 steps,
                 lambda: make_sharded_block_fn(
-                    self.accel_fn, cfg.dt, steps, mesh, comm=cfg.comm
+                    cfg.kernel, cfg.kernel_opts(), cfg.dt, steps, mesh,
+                    comm=cfg.comm,
                 ),
             )
         else:
@@ -94,9 +95,12 @@ class _DeviceRunner(_BlockRunner):
         self.state = state
         # Warm-up call (compiles and runs one block, result discarded) so
         # the timed loop never pays compilation; state is immutable so the
-        # warm-up does not advance the simulation.
+        # warm-up does not advance the simulation.  The scalar fetch is the
+        # sync point — on tunneled backends block_until_ready alone does
+        # not guarantee the executable has finished building/running.
         main = self._block_for(min(cfg.sfreq, cfg.nsteps))
-        jax.block_until_ready(main(state))
+        _, ke = main(state)
+        float(ke)
 
     def _cached(self, steps: int, build: Callable):
         if steps not in self._blocks:
@@ -106,7 +110,10 @@ class _DeviceRunner(_BlockRunner):
     def run_block(self, steps: int) -> float:
         fn = self._block_for(steps)
         self.state, ke = fn(self.state)
-        return float(jax.block_until_ready(ke))
+        # float() forces a device->host fetch of the block's final kinetic
+        # energy — the once-per-block sync point (ver0 reads _kenergy on the
+        # host every step; our block runs sfreq steps between syncs).
+        return float(ke)
 
 
 class _OracleRunner(_BlockRunner):

@@ -1,0 +1,63 @@
+"""CLI surface: positional compatibility with the reference binaries
+(ver0/main.cpp:25-46, ver5_all/main.cpp:23-66)."""
+
+import io
+import sys
+
+import pytest
+
+from nbody_tpu.__main__ import build_parser, main
+
+
+def _run_cli(args):
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        rc = main(args)
+    finally:
+        sys.stdout = old
+    return rc, buf.getvalue()
+
+
+def test_defaults_match_reference_ctor():
+    args = build_parser().parse_args([])
+    assert args.n == 2000 and args.nsteps == 500
+    assert args.sfreq == 50 and args.dt == pytest.approx(0.1)
+
+
+def test_positional_args():
+    args = build_parser().parse_args(
+        ["4096", "100", "cpu+gpu", "0.5", "128", "256"]
+    )
+    assert args.n == 4096 and args.nsteps == 100
+    assert args.device == "cpu+gpu" and args.cpu_ratio == 0.5
+    assert args.dim0 == 128 and args.dim1 == 256
+
+
+def test_end_to_end_run_output():
+    rc, out = _run_cli(["128", "50", "--kernel", "naive"])
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0] == "==============================="
+    assert lines[1] == " Initialize Gravity Simulation"
+    assert " nPart = 128; nSteps = 50; dt = 0.1" in lines
+    assert any(l.startswith(" 50 ") for l in lines)
+    assert lines[-1] == "==============================="
+    assert any(l.startswith("# Number Threads     : ") for l in lines)
+
+
+def test_device_token_echoed():
+    rc, out = _run_cli(["128", "50", "gpu", "--kernel", "naive"])
+    assert rc == 0
+    assert "gpu" in out.splitlines()
+
+
+def test_thread_dims_map_to_tiles():
+    # dim0/dim1 (the reference's thread dims, ver5_all/main.cpp:51-54)
+    # select Pallas tile sizes here.
+    from nbody_tpu.config import SimConfig
+
+    cfg = SimConfig(tile_i=128, tile_j=256)
+    assert cfg.kernel_opts()["tile_i"] == 128
+    assert cfg.kernel_opts()["tile_j"] == 256

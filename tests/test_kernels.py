@@ -1,0 +1,129 @@
+"""Kernel equivalence: every registered device kernel must agree with the
+fp64 oracle forces (single evaluation, tight relative error) and with each
+other.  The Pallas kernel runs in interpreter mode on CPU."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.init import reference_init_arrays
+from nbody_tpu.oracle import accelerations_ref64
+from nbody_tpu.ops import naive, pallas_kernel
+
+
+def _rel_err(got, want):
+    scale = np.abs(want) + np.abs(want).max() * 1e-3
+    return np.max(np.abs(got - want) / scale)
+
+
+@pytest.fixture(scope="module")
+def system():
+    pos, vel, mass = reference_init_arrays(512)
+    acc64 = accelerations_ref64(pos, mass)
+    return pos, mass, acc64
+
+
+def test_naive_matches_oracle(system):
+    pos, mass, acc64 = system
+    acc = np.asarray(naive.accelerations(pos, mass))
+    assert _rel_err(acc, acc64) < 2e-5
+
+
+def test_naive_chunking_invariance(system):
+    pos, mass, _ = system
+    a1 = np.asarray(naive.accelerations(pos, mass, chunk=512))
+    a2 = np.asarray(naive.accelerations(pos, mass, chunk=128))
+    np.testing.assert_allclose(a1, a2, rtol=2e-6, atol=1e-12)
+
+
+def test_pallas_matches_naive(system):
+    pos, mass, _ = system
+    want = np.asarray(naive.accelerations(pos, mass))
+    got = np.asarray(
+        pallas_kernel.accelerations(
+            pos, mass, tile_i=128, tile_j=256, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-12)
+
+
+def test_pallas_matches_oracle(system):
+    pos, mass, acc64 = system
+    got = np.asarray(
+        pallas_kernel.accelerations(
+            pos, mass, tile_i=128, tile_j=128, interpret=True
+        )
+    )
+    assert _rel_err(got, acc64) < 2e-5
+
+
+def test_pallas_tile_invariance(system):
+    pos, mass, _ = system
+    a1 = np.asarray(
+        pallas_kernel.accelerations(pos, mass, tile_i=256, tile_j=512, interpret=True)
+    )
+    a2 = np.asarray(
+        pallas_kernel.accelerations(pos, mass, tile_i=128, tile_j=128, interpret=True)
+    )
+    np.testing.assert_allclose(a1, a2, rtol=2e-5, atol=1e-12)
+
+
+def _l2_rel(got, want):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    return np.linalg.norm(got - want) / np.linalg.norm(want)
+
+
+def test_bf16_distance_mode(system):
+    pos, mass, acc64 = system
+    got = np.asarray(
+        naive.accelerations(pos, mass, dist_dtype="bfloat16")
+    )
+    # bf16 deltas carry ~2.4 decimal digits; individual components with
+    # strong cancellation are noisy, but the field error norm stays small.
+    assert _l2_rel(got, acc64) < 5e-3
+    got_p = np.asarray(
+        pallas_kernel.accelerations(
+            pos, mass, tile_i=128, tile_j=128, dist_dtype="bfloat16",
+            interpret=True,
+        )
+    )
+    assert _l2_rel(got_p, acc64) < 5e-3
+
+
+def test_between_consistency(system):
+    pos, mass, _ = system
+    whole = np.asarray(naive.accelerations(pos, mass))
+    half = np.asarray(
+        naive.accelerations_between(pos[:, :256], pos, mass)
+    )
+    np.testing.assert_allclose(half, whole[:, :256], rtol=1e-6)
+
+
+def test_self_interaction_exactly_zero():
+    # A single particle exerts no force on itself (dx=0 -> contribution 0),
+    # matching the reference's unmasked diagonal (ver0/GSimulation.cpp:132-147).
+    pos = np.zeros((3, 1), np.float32)
+    mass = np.ones(1, np.float32)
+    acc = np.asarray(naive.accelerations(pos, mass, chunk=1))
+    assert np.all(acc == 0)
+
+
+def test_zero_mass_sources_contribute_nothing(system):
+    pos, mass, _ = system
+    acc_ref = np.asarray(naive.accelerations_between(pos[:, :128], pos, mass))
+    pos_aug = np.concatenate([pos, pos[:, :64]], axis=1)  # duplicate positions
+    mass_aug = np.concatenate([mass, np.zeros(64, np.float32)])
+    acc_aug = np.asarray(
+        naive.accelerations_between(pos[:, :128], pos_aug, mass_aug)
+    )
+    np.testing.assert_array_equal(acc_ref, acc_aug)
+
+
+def test_momentum_conservation():
+    # Sum_i m_i * a_i = 0 for pairwise-antisymmetric forces (the softened
+    # kernel is antisymmetric because w_ij depends only on |r_i - r_j|).
+    pos, _, mass = reference_init_arrays(256)
+    acc = np.asarray(naive.accelerations(pos, mass)).astype(np.float64)
+    net = (mass.astype(np.float64)[None, :] * acc).sum(axis=1)
+    scale = np.abs(mass[None, :] * acc).sum()
+    assert np.all(np.abs(net) < 1e-7 * scale)

@@ -1,0 +1,83 @@
+"""Multi-device data decomposition on an 8-virtual-device CPU mesh.
+
+Validates the GSPMD particle sharding + collectives against the
+single-device path — the testing the reference's MPI layer never had
+(SURVEY.md §4; latent MPI bugs documented in §2.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nbody_tpu.init import make_state
+from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
+from nbody_tpu.parallel.decompose import (
+    make_sharded_block_fn,
+    shard_state,
+    state_specs,
+)
+from nbody_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _single_device_reference(n, steps):
+    state = make_state(n, pad_multiple=8)
+    blk = make_block_fn(make_accel_fn("naive"), 0.1, steps)
+    return blk(state)
+
+
+@pytest.mark.parametrize("comm", ["allgather", "ring"])
+def test_sharded_matches_single_device(comm):
+    n, steps = 512, 10
+    ref_state, ref_ke = _single_device_reference(n, steps)
+
+    state = make_state(n, pad_multiple=8)
+    sharded, mesh = shard_state(state, 8)
+    blk = make_sharded_block_fn("naive", {}, 0.1, steps, mesh, comm=comm)
+    out_state, ke = blk(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.pos), np.asarray(ref_state.pos), rtol=2e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.vel), np.asarray(ref_state.vel), rtol=2e-6, atol=1e-10
+    )
+    assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
+
+
+def test_ring_equals_allgather():
+    n, steps = 256, 5
+    state = make_state(n, pad_multiple=8)
+    sharded, mesh = shard_state(state, 8)
+    ag = make_sharded_block_fn("naive", {}, 0.1, steps, mesh, comm="allgather")
+    rg = make_sharded_block_fn("naive", {}, 0.1, steps, mesh, comm="ring")
+    st_a, ke_a = ag(sharded)
+    st_r, ke_r = rg(sharded)
+    np.testing.assert_allclose(
+        np.asarray(st_a.pos), np.asarray(st_r.pos), rtol=1e-6, atol=1e-12
+    )
+    assert float(ke_a) == pytest.approx(float(ke_r), rel=1e-6)
+
+
+def test_sharded_state_placement():
+    state = make_state(512, pad_multiple=8)
+    sharded, mesh = shard_state(state, 8)
+    assert len(sharded.pos.sharding.device_set) == 8
+    specs = state_specs()
+    assert sharded.pos.sharding.spec == specs.pos
+
+
+def test_mesh_construction():
+    mesh = make_mesh(4)
+    assert mesh.devices.shape == (4,)
+    with pytest.raises(ValueError):
+        make_mesh(1000)
+
+
+def test_uneven_shard_rejected():
+    state = make_state(100)  # 100 not divisible by 8
+    with pytest.raises(ValueError):
+        shard_state(state, 8)
