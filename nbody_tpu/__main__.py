@@ -42,12 +42,21 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
     p.add_argument("--tile-j", type=int, default=0)
+    p.add_argument("--autotune", action="store_true",
+                   help="on-device tile-size sweep before the run")
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--comm", default="allgather", choices=["allgather", "ring"])
     p.add_argument("--sfreq", type=int, default=50)
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--platform", default=None)
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--save-state", default=None, metavar="PATH",
+                   help="write final (and periodic) state checkpoints here")
+    p.add_argument("--load-state", default=None, metavar="PATH",
+                   help="resume from a checkpoint instead of fresh init")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
+                   help="also checkpoint every K-th sample block")
     return p
 
 
@@ -60,10 +69,13 @@ def main(argv=None) -> int:
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
-        tile_j=args.tile_j or args.dim1, precision=args.precision,
+        tile_j=args.tile_j or args.dim1, autotune=args.autotune,
+        precision=args.precision,
         shards=args.shards, comm=args.comm,
         platform=args.platform or ("cpu" if args.device == "cpu" else None),
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, debug_nans=args.debug_nans,
+        save_state_path=args.save_state, load_state_path=args.load_state,
+        checkpoint_every=args.checkpoint_every,
     )
     sim = Simulation(cfg)
     if args.device is not None:

@@ -23,6 +23,7 @@ class SimConfig:
     kernel: str = "auto"  # naive | pallas | auto
     tile_i: int = 0  # 0 = kernel default
     tile_j: int = 0
+    autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     precision: str = "f32"  # f32 | bf16 | ref64 (bit-exact host oracle)
 
     # Parallelism (the USE_MPI axis, as GSPMD sharding).
@@ -34,6 +35,12 @@ class SimConfig:
 
     # Diagnostics.
     profile_dir: Optional[str] = None
+    debug_nans: bool = False
+
+    # Checkpoint / resume (no reference analog; SURVEY.md §5).
+    save_state_path: Optional[str] = None  # write final state here
+    load_state_path: Optional[str] = None  # start from this checkpoint
+    checkpoint_every: int = 0  # also save every k-th sample block
 
     def kernel_opts(self) -> dict:
         opts = {}

@@ -87,13 +87,27 @@ def step_ref64(
 
 
 def run_ref64(
-    n: int, nsteps: int, dt: float = 0.1, sfreq: int = 50
+    n: int,
+    nsteps: int,
+    dt: float = 0.1,
+    sfreq: int = 50,
+    engine: str = "auto",
 ) -> list[tuple[int, np.float32]]:
     """Run the oracle from reference initial conditions; return the
-    (step, kenergy) samples the reference would print."""
+    (step, kenergy) samples the reference would print.
+
+    engine: 'numpy' (this module), 'native' (the C++ engine in
+    native/oracle_engine.cpp, bit-identical and ~50x faster), or 'auto'
+    (native when buildable, else numpy)."""
     from .init import reference_init_arrays
+    from .utils import native
 
     pos, vel, mass = reference_init_arrays(n)
+    if engine == "auto":
+        engine = "native" if native.available() else "numpy"
+    if engine == "native":
+        trace = native.oracle_run(pos, vel, mass, nsteps, dt)
+        return [(s, trace[s - 1]) for s in range(sfreq, nsteps + 1, sfreq)]
     samples = []
     for s in range(1, nsteps + 1):
         pos, vel, ke = step_ref64(pos, vel, mass, dt)

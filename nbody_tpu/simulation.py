@@ -63,6 +63,9 @@ class _BlockRunner:
     def run_block(self, steps: int) -> float:  # returns kenergy, advances state
         raise NotImplementedError
 
+    def save(self, path: str, step: int) -> None:
+        raise NotImplementedError
+
 
 class _DeviceRunner(_BlockRunner):
     def __init__(self, cfg: SimConfig):
@@ -71,12 +74,35 @@ class _DeviceRunner(_BlockRunner):
         self.state: Optional[ParticleState] = None
         self._blocks = {}
 
+    def save(self, path: str, step: int) -> None:
+        from .utils.checkpoint import save_state
+
+        save_state(path, self.state, step)
+
     def prepare(self) -> None:
         cfg = self.cfg
-        state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+        if cfg.load_state_path:
+            from .utils.checkpoint import load_state
+
+            state, _ = load_state(cfg.load_state_path, cfg.pad_multiple())
+            cfg.n = state.n
+        else:
+            state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
         if cfg.platform:
             dev = jax.local_devices(backend=cfg.platform)[0]
             state = jax.device_put(state, dev)
+        from .ops.registry import resolve
+
+        if cfg.autotune and resolve(cfg.kernel) == "pallas" and not (
+            cfg.tile_i and cfg.tile_j
+        ):
+            from .utils.autotune import autotune_tiles
+
+            cfg.tile_i, cfg.tile_j = autotune_tiles(
+                state.n_padded,
+                dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
+            )
+            self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.shards > 1:
             from .parallel.decompose import shard_state, make_sharded_block_fn
 
@@ -120,10 +146,24 @@ class _OracleRunner(_BlockRunner):
     """Bit-exact ver0-semantics host runner (see oracle.py)."""
 
     def prepare(self) -> None:
-        from . import oracle  # noqa: F401  (import check)
+        if self.cfg.load_state_path:
+            from .utils.checkpoint import load_state
 
-        self.pos, self.vel, self.mass = reference_init_arrays(self.cfg.n)
+            state, _ = load_state(self.cfg.load_state_path)
+            self.pos = np.asarray(state.pos)
+            self.vel = np.asarray(state.vel)
+            self.mass = np.asarray(state.mass)
+            self.cfg.n = state.n
+        else:
+            self.pos, self.vel, self.mass = reference_init_arrays(self.cfg.n)
         self.ke = np.float32(0.0)
+
+    def save(self, path: str, step: int) -> None:
+        from .state import pad_state
+        from .utils.checkpoint import save_state
+
+        st = pad_state(self.pos, self.vel, self.mass, self.pos.shape[1])
+        save_state(path, st, step)
 
     def run_block(self, steps: int) -> float:
         from .oracle import step_ref64
@@ -137,6 +177,9 @@ class _OracleRunner(_BlockRunner):
 
 def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
     emit = (lambda *_: None) if quiet else reporting._emit
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     runner: _BlockRunner
     if cfg.precision == "ref64":
@@ -177,7 +220,16 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
             if nf > 2:
                 av += block_gf
                 dev += block_gf * block_gf
+            if (
+                cfg.checkpoint_every
+                and cfg.save_state_path
+                and nf % cfg.checkpoint_every == 0
+            ):
+                runner.save(cfg.save_state_path, s)
     t1 = timer.stop()
+
+    if cfg.save_state_path:
+        runner.save(cfg.save_state_path, cfg.nsteps)
 
     if profile_ctx:
         profile_ctx.__exit__(None, None, None)

@@ -1,0 +1,34 @@
+"""Autotuner mechanism (timing runs in Pallas interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.utils import autotune
+
+
+def test_autotune_picks_valid_candidate(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    ti, tj = autotune.autotune_tiles(
+        256,
+        candidates=[(128, 128), (128, 256), (999, 999)],
+        loops=1,
+        interpret=True,
+    )
+    assert (ti, tj) in [(128, 128), (128, 256)]
+    # disk cache round-trip
+    autotune._memory_cache.clear()
+    ti2, tj2 = autotune.autotune_tiles(
+        256, candidates=[(128, 128)], loops=1, interpret=True
+    )
+    assert (ti2, tj2) == (ti, tj)
+
+
+def test_autotune_rejects_nondividing(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    # none of the candidates divide 200 -> falls back to minimal tiles
+    ti, tj = autotune.autotune_tiles(
+        200, candidates=[(128, 128)], loops=1, interpret=True
+    )
+    assert 200 % ti == 0 and 200 % tj == 0
