@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dim0", nargs="?", type=int, default=0)
     p.add_argument("dim1", nargs="?", type=int, default=0)
     p.add_argument("--kernel", default="auto",
-                   choices=["naive", "pallas", "auto"])
+                   choices=["naive", "pallas", "pallas_mxu", "auto"])
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint instead of fresh init")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
                    help="also checkpoint every K-th sample block")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="also write the run result as JSON ('-' = stdout)")
     return p
 
 
@@ -83,7 +85,16 @@ def main(argv=None) -> int:
         print(args.device)
     if args.cpu_ratio is not None:
         sim.set_cpu_ratio(args.cpu_ratio)
-    sim.start()
+    result = sim.start()
+    if args.json:
+        import json
+
+        payload = json.dumps(result.to_dict(), indent=1)
+        if args.json == "-":
+            print(payload)
+        else:
+            with open(args.json, "w") as f:
+                f.write(payload + "\n")
     return 0
 
 

@@ -17,7 +17,7 @@ from typing import Callable, Dict
 
 import jax
 
-from . import naive, pallas_kernel
+from . import naive, pallas_kernel, pallas_mxu
 
 KernelFn = Callable[..., jax.Array]
 
@@ -61,3 +61,4 @@ def _lookup(name: str):
 
 register("naive", naive.accelerations, naive.accelerations_between)
 register("pallas", pallas_kernel.accelerations, pallas_kernel.accelerations_between)
+register("pallas_mxu", pallas_mxu.accelerations, pallas_mxu.accelerations_between)

@@ -50,6 +50,18 @@ class RunResult:
     def kenergy_trace(self) -> List[Tuple[int, float]]:
         return [(s, ke) for (s, _, ke, _, _) in self.samples]
 
+    def to_dict(self) -> dict:
+        return dict(
+            samples=[
+                dict(step=s, t_phys=t, kenergy=ke, seconds=b, gflops=g)
+                for (s, t, ke, b, g) in self.samples
+            ],
+            total_time=self.total_time,
+            gflops_mean=self.av,
+            gflops_dev=self.dev,
+            nthreads=self.nthreads,
+        )
+
 
 class _BlockRunner:
     """Produces (state, kenergy) per sample block; pluggable per precision."""

@@ -78,3 +78,35 @@ def to_host(state: ParticleState) -> dict:
         mass=np.asarray(state.mass)[: state.n],
         n=state.n,
     )
+
+
+# AoS interop.  The reference's baseline layout is an array of structs with
+# pos[3], vel[3], acc[3], mass per particle (ver0/Particle.hpp:26-41).  These
+# converters exchange state with AoS tooling; acc round-trips as zeros since
+# it is not state here (recomputed every step).
+
+AOS_DTYPE = np.dtype(
+    [("pos", np.float32, 3), ("vel", np.float32, 3),
+     ("acc", np.float32, 3), ("mass", np.float32)]
+)
+
+
+def to_aos(state: ParticleState) -> np.ndarray:
+    """Real particles as a structured AoS array (reference Particle layout)."""
+    host = to_host(state)
+    out = np.zeros(state.n, dtype=AOS_DTYPE)
+    out["pos"] = host["pos"].T
+    out["vel"] = host["vel"].T
+    out["mass"] = host["mass"]
+    return out
+
+
+def from_aos(aos: np.ndarray, pad_multiple: int = 1) -> ParticleState:
+    """Build a device state from a structured AoS array."""
+    n = len(aos)
+    return pad_state(
+        np.ascontiguousarray(aos["pos"].T, np.float32),
+        np.ascontiguousarray(aos["vel"].T, np.float32),
+        np.ascontiguousarray(aos["mass"], np.float32),
+        round_up(n, max(1, pad_multiple)),
+    )

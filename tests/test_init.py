@@ -41,3 +41,18 @@ def test_padding_zero_mass():
 def test_make_state_pad_multiple():
     st = make_state(2000, pad_multiple=512)
     assert st.n_padded == round_up(2000, 512) == 2048
+
+
+def test_aos_roundtrip():
+    from nbody_tpu.state import AOS_DTYPE, from_aos, to_aos
+
+    st = make_state(50, pad_multiple=16)
+    aos = to_aos(st)
+    assert aos.dtype == AOS_DTYPE and len(aos) == 50
+    assert np.all(aos["acc"] == 0)
+    back = from_aos(aos, pad_multiple=16)
+    assert back.n == 50 and back.n_padded == 64
+    np.testing.assert_array_equal(
+        np.asarray(back.pos)[:, :50], np.asarray(st.pos)[:, :50]
+    )
+    np.testing.assert_array_equal(np.asarray(back.mass), np.asarray(st.mass))

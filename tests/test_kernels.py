@@ -7,7 +7,7 @@ import pytest
 
 from nbody_tpu.init import reference_init_arrays
 from nbody_tpu.oracle import accelerations_ref64
-from nbody_tpu.ops import naive, pallas_kernel
+from nbody_tpu.ops import naive, pallas_kernel, pallas_mxu, registry
 
 
 def _rel_err(got, want):
@@ -88,6 +88,26 @@ def test_bf16_distance_mode(system):
         )
     )
     assert _l2_rel(got_p, acc64) < 5e-3
+
+
+def test_mxu_kernel_matches_naive(system):
+    pos, mass, acc64 = system
+    want = np.asarray(naive.accelerations(pos, mass))
+    got = np.asarray(
+        pallas_mxu.accelerations(
+            pos, mass, tile_i=128, tile_j=128, interpret=True
+        )
+    )
+    # the |r|^2 expansion loses a few bits on close pairs; field norm tight
+    assert _l2_rel(got, want) < 1e-4
+    assert _l2_rel(got, acc64) < 1e-4
+
+
+def test_registry_names():
+    assert set(registry.available()) >= {"naive", "pallas", "pallas_mxu", "auto"}
+    assert registry.resolve("auto") in ("naive", "pallas")
+    with pytest.raises(KeyError):
+        registry.get("bogus")
 
 
 def test_between_consistency(system):
