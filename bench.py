@@ -21,6 +21,40 @@ import time
 
 REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
 
+# BASELINE.md benchmark configurations (precision mode, N, steps).
+SUITE = (
+    ("parity-n2000", "f32", 2000, 500),
+    ("single-chip-n16384", "f32", 16384, 500),
+    ("bf16-n131072", "bf16", 131072, 100),
+    ("n1m", "f32", 1048576, 4),
+)
+
+
+def _suite(kernel: str) -> int:
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.utils.flops import pairs_per_step, step_gflops
+
+    for name, precision, n, steps in SUITE:
+        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel, precision=precision)
+        half = max(1, steps // 2)
+        t_half = _timed_steps(cfg, half)
+        t_full = _timed_steps(cfg, 2 * half)
+        sps = half / max(t_full - t_half, 1e-9)
+        print(
+            json.dumps(
+                {
+                    "config": name,
+                    "n": n,
+                    "precision": precision,
+                    "gflops_model": round(step_gflops(n) * sps, 2),
+                    "pairs_per_sec": f"{pairs_per_step(n) * sps:.4g}",
+                    "steps_per_sec": round(sps, 4),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
 
 def _timed_steps(cfg, nsteps):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
@@ -46,10 +80,16 @@ def main() -> int:
     p.add_argument("--n", type=int, default=16384)
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--kernel", default="auto")
+    p.add_argument("--suite", action="store_true",
+                   help="run every BASELINE.md config that fits the "
+                        "available devices (one JSON line per config)")
     args = p.parse_args()
 
     from nbody_tpu.config import SimConfig
     from nbody_tpu.utils.flops import pairs_per_step, step_gflops
+
+    if args.suite:
+        return _suite(args.kernel)
 
     cfg = SimConfig(n=args.n, nsteps=args.steps, kernel=args.kernel)
 

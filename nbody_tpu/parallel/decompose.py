@@ -124,12 +124,16 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         ke = lax.psum(jnp.float32(0.5) * jnp.sum(mass * v2), AXIS)
         return pos, vel, ke
 
-    sharded = shard_map(
-        block,
-        mesh=mesh,
+    specs = dict(
         in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)),
         out_specs=(P(None, AXIS), P(None, AXIS), P()),
     )
+    try:
+        # Pallas calls don't carry varying-mesh-axes metadata yet; disable
+        # the replication checker (named check_rep before jax 0.7).
+        sharded = shard_map(block, mesh=mesh, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover
+        sharded = shard_map(block, mesh=mesh, check_rep=False, **specs)
     jitted = jax.jit(sharded)
 
     def run(state: ParticleState):

@@ -70,6 +70,24 @@ def test_sharded_state_placement():
     assert sharded.pos.sharding.spec == specs.pos
 
 
+def test_sharded_pallas_interpret():
+    # The production multi-chip path is shard_map over the Pallas kernel;
+    # exercise that exact composition with the kernel in interpreter mode.
+    n, steps = 512, 3
+    state = make_state(n, pad_multiple=8)
+    sharded, mesh = shard_state(state, 8)
+    opts = dict(tile_i=32, tile_j=64, interpret=True)
+    blk = make_sharded_block_fn("pallas", opts, 0.1, steps, mesh, comm="ring")
+    out_state, ke = blk(sharded)
+
+    ref_state, ref_ke = _single_device_reference(n, steps)
+    np.testing.assert_allclose(
+        np.asarray(out_state.pos), np.asarray(ref_state.pos), rtol=2e-5,
+        atol=1e-9,
+    )
+    assert float(ke) == pytest.approx(float(ref_ke), rel=1e-4)
+
+
 def test_mesh_construction():
     mesh = make_mesh(4)
     assert mesh.devices.shape == (4,)
