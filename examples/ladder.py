@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""The optimization ladder, TPU edition.
+
+The reference teaches performance as nine programs (ver0-ver8) run one
+after another.  Here the rungs are kernels and precision modes of one
+framework; this example runs them on the same problem and prints the
+same-style comparison the workshop builds by hand.
+
+Usage: python examples/ladder.py [N] [steps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    import jax
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
+    from nbody_tpu.utils.flops import step_gflops
+
+    rungs = [
+        ("naive jnp (ver0-2 analog)", "naive", {}),
+        ("pallas tiled (ver3-8 analog)", "pallas", {}),
+        ("pallas bf16-dist", "pallas", {"dist_dtype": "bfloat16"}),
+        ("pallas mxu experiment", "pallas_mxu", {}),
+    ]
+
+    state = make_state(n, pad_multiple=1024)
+    print(f" N={n}, {steps} steps per rung, backend={jax.default_backend()}")
+    print(f" {'rung':32s} {'time/step':>12s} {'GFlop/s':>10s} {'speedup':>8s}")
+    base = None
+    for label, kernel, opts in rungs:
+        try:
+            blk = make_block_fn(make_accel_fn(kernel, **opts), 0.1, steps)
+            _, ke = blk(state)
+            float(ke)  # compile + run once
+            t0 = time.perf_counter()
+            _, ke = blk(state)
+            float(ke)
+            dt = (time.perf_counter() - t0) / steps
+        except Exception as e:
+            print(f" {label:32s} {'FAILED: ' + type(e).__name__:>12s}")
+            continue
+        gf = step_gflops(n) / dt
+        base = base or dt
+        print(f" {label:32s} {dt * 1e3:>10.3f}ms {gf:>10.1f} {base / dt:>7.2f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,11 +59,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint every K-th sample block")
     p.add_argument("--json", default=None, metavar="PATH",
                    help="also write the run result as JSON ('-' = stdout)")
+    p.add_argument("--list-devices", action="store_true",
+                   help="print visible accelerators and exit (the OpenCL "
+                        "backend's device-discovery analog)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.list_devices:
+        import jax
+
+        for d in jax.devices():
+            print(f"{d.id}: {d.platform} {d.device_kind}")
+        try:
+            for d in jax.local_devices(backend="cpu"):
+                print(f"{d.id}: cpu {d.device_kind}")
+        except RuntimeError:
+            pass
+        return 0
     if args.platform == "cpu" or args.device == "cpu":
         from .utils.platform import force_cpu
 
