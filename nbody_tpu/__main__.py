@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--comm", default="allgather", choices=["allgather", "ring"])
     p.add_argument("--sfreq", type=int, default=50)
     p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--integrator", default="euler",
+                   choices=["euler", "leapfrog"],
+                   help="euler = reference parity; leapfrog = symplectic")
     p.add_argument("--platform", default=None)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--debug-nans", action="store_true")
@@ -84,6 +87,7 @@ def main(argv=None) -> int:
         force_cpu(args.shards if args.shards > 1 else None)
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
+        integrator=args.integrator,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, autotune=args.autotune,
         precision=args.precision,

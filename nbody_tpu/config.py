@@ -18,6 +18,7 @@ class SimConfig:
     nsteps: int = 500
     dt: float = 0.1
     sfreq: int = 50
+    integrator: str = "euler"  # euler (reference parity) | leapfrog
 
     # Kernel selection (the ver5_all ARCH= backend seam, runtime-switchable).
     kernel: str = "auto"  # naive | pallas | auto

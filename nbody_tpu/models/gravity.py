@@ -42,19 +42,44 @@ def euler_step(state: ParticleState, accel_fn: AccelFn, dt: float) -> ParticleSt
     return ParticleState(pos=pos, vel=vel, mass=state.mass, n=state.n)
 
 
-def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int):
+def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
+                  integrator: str = "euler"):
     """Build a jitted function advancing ``block_steps`` steps on device and
     returning (new_state, kinetic_energy_after_last_step)."""
+    from .integrators import make_block_fn as _mk
 
-    @jax.jit
-    def block(state: ParticleState):
-        def body(_, st):
-            return euler_step(st, accel_fn, dt)
+    return _mk(accel_fn, dt, block_steps, integrator=integrator)
 
-        state = jax.lax.fori_loop(0, block_steps, body, state)
-        return state, kinetic_energy(state)
 
-    return block
+def potential_energy(state: ParticleState, chunk: int = 1024) -> jax.Array:
+    """Softened potential energy, consistent with the force law:
+    PE = -(G/2) sum_i sum_j m_i m_j (|r_ij|^2 + eps)^(-1/2).
+
+    Includes the i==j self term, which is a constant (-G m^2 / (2 sqrt(eps))
+    per particle) and therefore irrelevant to conservation diagnostics; the
+    reference likewise never masks the diagonal.  KE + PE is the conserved
+    energy of the softened system (the reference prints only KE)."""
+    from ..ops.naive import _largest_divisor_leq
+    from ..types import G_NEWTON, SOFTENING_SQUARED
+
+    pos, mass = state.pos, state.mass
+    n = pos.shape[1]
+    c = _largest_divisor_leq(n, chunk)
+    eps2 = jnp.float32(SOFTENING_SQUARED)
+
+    def block(args):
+        pos_i, m_i = args  # (3, c), (c,)
+        d = pos[:, None, :] - pos_i[:, :, None]  # (3, c, N)
+        d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + eps2
+        inv = jax.lax.rsqrt(d2)  # (c, N)
+        return jnp.sum((m_i[:, None] * mass[None, :]) * inv)
+
+    blocks = (
+        pos.reshape(3, n // c, c).transpose(1, 0, 2),
+        mass.reshape(n // c, c),
+    )
+    total = jnp.sum(jax.lax.map(block, blocks))
+    return jnp.float32(-0.5 * G_NEWTON) * total
 
 
 def make_accel_fn(kernel_name: str, **opts) -> AccelFn:

@@ -94,9 +94,11 @@ _ACCEL_MODES = {"allgather": _accel_allgather, "ring": _accel_ring}
 
 
 def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
-                          block_steps: int, mesh: Mesh, comm: str = "allgather"):
+                          block_steps: int, mesh: Mesh, comm: str = "allgather",
+                          integrator: str = "euler"):
     """Jitted sample block over a particle-sharded state: advances
     ``block_steps`` steps fully on device and returns (state, kenergy)."""
+    from ..models.integrators import INTEGRATORS
     from ..ops import registry
 
     between_fn = registry.get_between(kernel_name)
@@ -108,18 +110,35 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         raise ValueError(
             f"unknown comm mode {comm!r}; options: {sorted(_ACCEL_MODES)}"
         ) from None
+    if integrator not in INTEGRATORS:
+        raise ValueError(f"unknown integrator {integrator!r}")
 
     dtf = jnp.float32(dt)
+    half = jnp.float32(0.5) * dtf
 
     def block(pos, vel, mass):
-        def step(_, carry):
-            p, v = carry
-            acc = accel_mode(between_fn, p, mass)
-            v = v + acc * dtf
-            p = p + v * dtf
-            return (p, v)
+        if integrator == "euler":
 
-        pos, vel = lax.fori_loop(0, block_steps, step, (pos, vel))
+            def step(_, carry):
+                p, v = carry
+                acc = accel_mode(between_fn, p, mass)
+                v = v + acc * dtf
+                p = p + v * dtf
+                return (p, v)
+
+            pos, vel = lax.fori_loop(0, block_steps, step, (pos, vel))
+        else:  # leapfrog (kick-drift-kick, acceleration carried)
+            acc0 = accel_mode(between_fn, pos, mass)
+
+            def step(_, carry):
+                p, v, acc = carry
+                v_h = v + acc * half
+                p = p + v_h * dtf
+                acc_n = accel_mode(between_fn, p, mass)
+                return (p, v_h + acc_n * half, acc_n)
+
+            pos, vel, _ = lax.fori_loop(0, block_steps, step, (pos, vel, acc0))
+
         v2 = vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]
         ke = lax.psum(jnp.float32(0.5) * jnp.sum(mass * v2), AXIS)
         return pos, vel, ke

@@ -123,12 +123,15 @@ class _DeviceRunner(_BlockRunner):
                 steps,
                 lambda: make_sharded_block_fn(
                     cfg.kernel, cfg.kernel_opts(), cfg.dt, steps, mesh,
-                    comm=cfg.comm,
+                    comm=cfg.comm, integrator=cfg.integrator,
                 ),
             )
         else:
             self._block_for = lambda steps: self._cached(
-                steps, lambda: make_block_fn(self.accel_fn, cfg.dt, steps)
+                steps,
+                lambda: make_block_fn(
+                    self.accel_fn, cfg.dt, steps, integrator=cfg.integrator
+                ),
             )
         self.state = state
         # Warm-up call (compiles and runs one block, result discarded) so
