@@ -82,11 +82,21 @@ def potential_energy(state: ParticleState, chunk: int = 1024) -> jax.Array:
     return jnp.float32(-0.5 * G_NEWTON) * total
 
 
-def make_accel_fn(kernel_name: str, **opts) -> AccelFn:
-    """Bind a registry kernel with its options into the AccelFn signature."""
+def make_accel_fn(
+    kernel_name: str, differentiable: bool = False, **opts
+) -> AccelFn:
+    """Bind a registry kernel with its options into the AccelFn signature.
+
+    ``differentiable=True`` attaches the analytic custom VJP (ops/grad.py),
+    required to differentiate through the Pallas kernels and cheaper than
+    XLA autodiff for the naive one."""
     from ..ops import registry
 
     fn = registry.get(kernel_name)
     if opts:
         fn = functools.partial(fn, **opts)
+    if differentiable:
+        from ..ops.grad import differentiable as _diff
+
+        fn = _diff(fn)
     return fn
