@@ -7,16 +7,21 @@ SIMD reductions (ver4/GSimulation.cpp:142-146), aligned allocation
 and OpenMP threading (ver7/GSimulation.cpp:141,179) is expressed here as one
 Pallas grid:
 
-* grid = (N/TILE_I, N/TILE_J) with j minor-most, so each i-tile's output
+* grid = (Nt/TILE_I, Ns/TILE_J) with j minor-most, so each i-tile's output
   block stays resident in VMEM while j-tiles stream through the Pallas
   pipeline (double-buffered DMA — the ver6 cache-tiling analog, with the
-  pipeline doing what `_mm_malloc` alignment did).
-* particle data is laid out twice for transpose-free broadcasting:
-  row-major (8, N) for the i-tile (coordinates on sublanes) and column-major
-  (N, 8) for the j-tile, with G*mass precomputed into row/col 3.
-* the (TILE_J, TILE_I) pair matrices live in VMEM/VPU registers; the j-sum
-  is a sublane reduction; fp32 accumulation into the output block (the
-  ver4 `omp simd reduction` analog).
+  pipeline doing what `_mm_malloc` alignment did);
+* pair matrices are (TILE_I, TILE_J): targets on sublanes, sources on
+  lanes, so the j-reduction is a LANE-axis sum.  Measured on v5e this
+  orientation beats the sublane-reduction transpose by ~45% (188 vs 128
+  Gpairs/s at N=131072; 211 Gpairs/s at N=16384 with TJ=2048) — with
+  long lane tiles the VPU reduces along its native axis;
+* particle data is packed twice for transpose-free broadcasting:
+  column-major (N, 8) rows for the i-tile (each target's coords read as
+  (TILE_I, 1) columns) and row-major (8, N) for the j-tile (source coords
+  and G*mass as (1, TILE_J) lane vectors);
+* fp32 accumulation into the resident output block (the ver4
+  `omp simd reduction` analog).
 
 Self-interaction is included: dx=dy=dz=0 makes the term exactly zero
 (matches ver0/GSimulation.cpp:132-147; do not mask the diagonal).
@@ -36,15 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import G_NEWTON, SOFTENING_SQUARED
 
-# Defaults from an on-device sweep (v5e, N=16k-131k, in-loop timing):
-# (512, 128) maximizes sustained pair rate; all (512, *) combos are within
-# ~5%.  VMEM footprint stays well under budget: the (TJ, TI) pair matrices
-# at fp32 are 256 KB each.
+# Defaults from on-device sweeps (v5e, N=16k-131k, in-loop difference
+# timing).  (512, 2048) maximizes sustained pair rate; VMEM holds the
+# (TILE_I, TILE_J) fp32 pair matrices at 4 MB each.
 DEFAULT_TILE_I = 512
-DEFAULT_TILE_J = 128
+DEFAULT_TILE_J = 2048
 
 
-def _nbody_kernel(psi_ref, psjt_ref, out_ref, *, dist_dtype):
+def _nbody_kernel(psit_ref, psj_ref, out_ref, *, dist_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -52,16 +56,18 @@ def _nbody_kernel(psi_ref, psjt_ref, out_ref, *, dist_dtype):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     f32 = jnp.float32
-    xi = psi_ref[0:1, :]  # (1, TI) — broadcast across sublanes
-    yi = psi_ref[1:2, :]
-    zi = psi_ref[2:3, :]
-    pj = psjt_ref[...]  # (TJ, 8)
-    xj = pj[:, 0:1]  # (TJ, 1) — broadcast across lanes
-    yj = pj[:, 1:2]
-    zj = pj[:, 2:3]
-    gm = pj[:, 3:4]
+    pi = psit_ref[...]  # (TI, 8)
+    xi = pi[:, 0:1]  # (TI, 1) — broadcast across lanes
+    yi = pi[:, 1:2]
+    zi = pi[:, 2:3]
+    xj = psj_ref[0:1, :]  # (1, TJ) — broadcast across sublanes
+    yj = psj_ref[1:2, :]
+    zj = psj_ref[2:3, :]
+    gm = psj_ref[3:4, :]
 
     if dist_dtype == jnp.bfloat16:
+        # Deltas subtract in f32 and only then narrow: casting positions
+        # first would catastrophically cancel for near pairs.
         dx = (xj - xi).astype(jnp.bfloat16)
         dy = (yj - yi).astype(jnp.bfloat16)
         dz = (zj - zi).astype(jnp.bfloat16)
@@ -73,18 +79,18 @@ def _nbody_kernel(psi_ref, psjt_ref, out_ref, *, dist_dtype):
         )
         dx, dy, dz = dx.astype(f32), dy.astype(f32), dz.astype(f32)
     else:
-        dx = xj - xi  # (TJ, TI)
+        dx = xj - xi  # (TI, TJ)
         dy = yj - yi
         dz = zj - zi
         d2 = dx * dx + dy * dy + dz * dz + f32(SOFTENING_SQUARED)
 
     inv = jax.lax.rsqrt(d2)
-    w = gm * (inv * inv * inv)  # (TJ, TI)
+    w = gm * (inv * inv * inv)  # (TI, TJ)
 
-    # Sublane (j-axis) reductions -> (1, TI) rows, accumulated in fp32.
-    out_ref[0:1, :] += jnp.sum(w * dx, axis=0, keepdims=True)
-    out_ref[1:2, :] += jnp.sum(w * dy, axis=0, keepdims=True)
-    out_ref[2:3, :] += jnp.sum(w * dz, axis=0, keepdims=True)
+    # Lane-axis (j) reductions -> (TI, 1) columns, accumulated in fp32.
+    out_ref[:, 0:1] += jnp.sum(w * dx, axis=1, keepdims=True)
+    out_ref[:, 1:2] += jnp.sum(w * dy, axis=1, keepdims=True)
+    out_ref[:, 2:3] += jnp.sum(w * dz, axis=1, keepdims=True)
 
 
 def pack_particles(pos: jax.Array, mass: jax.Array) -> jax.Array:
@@ -121,8 +127,9 @@ def accelerations_between(
         raise ValueError(
             f"particle counts ({nt},{ns}) must be divisible by tiles ({ti},{tj})"
         )
-    ps_i = pack_particles(pos_tgt, jnp.zeros((nt,), jnp.float32))
-    ps_jt = pack_particles(pos_src, mass_src).T  # (Ns, 8) column-major
+    # Targets column-major (Nt, 8); sources row-major (8, Ns).
+    ps_it = pack_particles(pos_tgt, jnp.zeros((nt,), jnp.float32)).T
+    ps_j = pack_particles(pos_src, mass_src)
 
     ddt = jnp.dtype(dist_dtype)
     grid = (nt // ti, ns // tj)
@@ -131,13 +138,13 @@ def accelerations_between(
         functools.partial(_nbody_kernel, dist_dtype=ddt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (8, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (ti, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, nt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -147,8 +154,8 @@ def accelerations_between(
             transcendentals=nt * ns,
         ),
         interpret=interpret,
-    )(ps_i, ps_jt)
-    return out[0:3, :]
+    )(ps_it, ps_j)
+    return out[:, 0:3].T
 
 
 def accelerations(pos: jax.Array, mass: jax.Array, **opts) -> jax.Array:

@@ -22,7 +22,8 @@ from typing import Iterable, Optional, Tuple
 import numpy as np
 
 DEFAULT_CANDIDATES: tuple[Tuple[int, int], ...] = (
-    (512, 128), (512, 256), (512, 512), (1024, 512), (256, 512), (1024, 128),
+    (512, 2048), (512, 1024), (256, 2048), (1024, 1024), (512, 512),
+    (256, 1024),
 )
 
 _memory_cache: dict = {}
