@@ -43,6 +43,18 @@ class SimConfig:
     load_state_path: Optional[str] = None  # start from this checkpoint
     checkpoint_every: int = 0  # also save every k-th sample block
 
+    def __post_init__(self):
+        if self.n < 1:
+            raise ValueError(f"n must be >= 1, got {self.n}")
+        if self.nsteps < 0:
+            raise ValueError(f"nsteps must be >= 0, got {self.nsteps}")
+        if self.sfreq < 1:
+            raise ValueError(f"sfreq must be >= 1, got {self.sfreq}")
+        if self.shards < 1:
+            raise ValueError(f"shards must be >= 1, got {self.shards}")
+        if self.precision not in ("f32", "bf16", "ref64"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+
     def kernel_opts(self) -> dict:
         opts = {}
         if self.kernel == "pallas" or (self.kernel == "auto"):
