@@ -58,8 +58,6 @@ def _suite(kernel: str) -> int:
 
 def _timed_steps(cfg, nsteps):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
-    import jax
-
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
 

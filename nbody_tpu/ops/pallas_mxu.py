@@ -34,8 +34,6 @@ accuracy cross-check.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import sys
 from typing import Callable, List, Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ exactly zero force and zero kinetic energy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,8 +1,5 @@
 """Autotuner mechanism (timing runs in Pallas interpreter mode on CPU)."""
 
-import numpy as np
-import pytest
-
 from nbody_tpu.utils import autotune
 
 

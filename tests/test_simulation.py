@@ -1,6 +1,5 @@
 """Engine facade, config validation, and driver entry points."""
 
-import numpy as np
 import pytest
 
 from nbody_tpu.config import SimConfig

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import os
 import re
 
 _ROW = re.compile(r"^ (\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*$")
