@@ -75,6 +75,20 @@ def test_grad_through_trajectory(system):
     assert np.allclose(np.asarray(g[1]), 0.0, atol=0.01)
 
 
+def test_pallas_backward_matches_jnp_backward(system):
+    from nbody_tpu.ops.grad import force_vjp_pallas
+
+    pos, mass = system
+    g = naive.accelerations(pos, mass) * jnp.float32(1e20)
+    want = force_vjp(pos, mass, g)
+    got = force_vjp_pallas(pos, mass, g, tile_i=128, tile_j=128,
+                           interpret=True)
+    for a, b in zip(got, want):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert err < 2e-5, err
+
+
 def test_vjp_zero_cotangent(system):
     pos, mass = system
     d_pos, d_mass = force_vjp(pos, mass, jnp.zeros_like(pos))
