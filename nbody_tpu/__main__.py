@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--integrator", default="euler",
                    choices=["euler", "leapfrog"],
                    help="euler = reference parity; leapfrog = symplectic")
+    p.add_argument("--distribution", default="reference",
+                   choices=["reference", "plummer", "cold_sphere"],
+                   help="initial conditions (reference = bit-exact parity)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="IC seed (the reference hard-codes 42)")
+    p.add_argument("--energy-check", action="store_true",
+                   help="report total-energy (KE+PE) drift at the end")
     p.add_argument("--platform", default=None)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--debug-nans", action="store_true")
@@ -87,7 +94,8 @@ def main(argv=None) -> int:
         force_cpu(args.shards if args.shards > 1 else None)
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
-        integrator=args.integrator,
+        integrator=args.integrator, distribution=args.distribution,
+        seed=args.seed, energy_check=args.energy_check,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, autotune=args.autotune,
         precision=args.precision,

@@ -19,6 +19,9 @@ class SimConfig:
     dt: float = 0.1
     sfreq: int = 50
     integrator: str = "euler"  # euler (reference parity) | leapfrog
+    distribution: str = "reference"  # | plummer | cold_sphere
+    seed: int = 42  # the reference hard-codes 42 (ver0/GSimulation.cpp:47)
+    energy_check: bool = False  # report total-energy drift (KE+PE) at end
 
     # Kernel selection (the ver5_all ARCH= backend seam, runtime-switchable).
     kernel: str = "auto"  # naive | pallas | auto

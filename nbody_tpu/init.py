@@ -39,8 +39,21 @@ def reference_init_arrays(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return pos, vel, mass
 
 
-def make_state(n: int, pad_multiple: int = 1) -> ParticleState:
-    """Build a device ParticleState with reference-exact initial conditions,
-    padded with zero-mass particles to a multiple of ``pad_multiple``."""
-    pos, vel, mass = reference_init_arrays(n)
+def make_state(
+    n: int,
+    pad_multiple: int = 1,
+    distribution: str = "reference",
+    seed: int = 42,
+) -> ParticleState:
+    """Build a device ParticleState padded with zero-mass particles to a
+    multiple of ``pad_multiple``.
+
+    distribution: 'reference' (bit-exact reference ICs, the default),
+    'plummer', or 'cold_sphere' (models/distributions.py)."""
+    if distribution == "reference" and seed == 42:
+        pos, vel, mass = reference_init_arrays(n)
+    else:
+        from .models.distributions import make_arrays
+
+        pos, vel, mass = make_arrays(distribution, n, seed=seed)
     return pad_state(pos, vel, mass, round_up(n, max(1, pad_multiple)))

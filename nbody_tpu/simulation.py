@@ -44,6 +44,7 @@ class RunResult:
     av: float
     dev: float
     nthreads: int
+    energy_drift: Optional[float] = None  # set when energy_check is on
 
     @property
     def kenergy_trace(self) -> List[Tuple[int, float]]:
@@ -59,6 +60,7 @@ class RunResult:
             gflops_mean=self.av,
             gflops_dev=self.dev,
             nthreads=self.nthreads,
+            energy_drift=self.energy_drift,
         )
 
 
@@ -75,6 +77,9 @@ class _BlockRunner:
         raise NotImplementedError
 
     def save(self, path: str, step: int) -> None:
+        raise NotImplementedError
+
+    def total_energy(self) -> float:
         raise NotImplementedError
 
 
@@ -98,7 +103,12 @@ class _DeviceRunner(_BlockRunner):
             state, _ = load_state(cfg.load_state_path, cfg.pad_multiple())
             cfg.n = state.n
         else:
-            state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+            state = make_state(
+                cfg.n,
+                pad_multiple=cfg.pad_multiple(),
+                distribution=cfg.distribution,
+                seed=cfg.seed,
+            )
         if cfg.platform:
             dev = jax.local_devices(backend=cfg.platform)[0]
             state = jax.device_put(state, dev)
@@ -155,6 +165,13 @@ class _DeviceRunner(_BlockRunner):
         # host every step; our block runs sfreq steps between syncs).
         return float(ke)
 
+    def total_energy(self) -> float:
+        from .models.gravity import kinetic_energy, potential_energy
+
+        return float(kinetic_energy(self.state)) + float(
+            potential_energy(self.state)
+        )
+
 
 class _OracleRunner(_BlockRunner):
     """Bit-exact ver0-semantics host runner (see oracle.py)."""
@@ -188,6 +205,18 @@ class _OracleRunner(_BlockRunner):
             )
         return float(self.ke)
 
+    def total_energy(self) -> float:
+        import jax.numpy as jnp
+
+        from .models.gravity import kinetic_energy, potential_energy
+        from .state import ParticleState
+
+        st = ParticleState(
+            pos=jnp.asarray(self.pos), vel=jnp.asarray(self.vel),
+            mass=jnp.asarray(self.mass), n=self.pos.shape[1],
+        )
+        return float(kinetic_energy(st)) + float(potential_energy(st))
+
 
 def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
     emit = (lambda *_: None) if quiet else reporting._emit
@@ -201,6 +230,8 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
     else:
         runner = _DeviceRunner(cfg)
     runner.prepare()
+
+    e0 = runner.total_energy() if cfg.energy_check else None
 
     emit(reporting.header(cfg.n, cfg.nsteps, cfg.dt), out)
 
@@ -257,7 +288,14 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
 
     nthreads = cfg.shards if cfg.shards > 1 else 1
     emit(reporting.footer(nthreads, total, av, dev), out)
-    return RunResult(samples, total, av, dev, nthreads)
+    result = RunResult(samples, total, av, dev, nthreads)
+    if cfg.energy_check and e0 is not None:
+        e1 = runner.total_energy()
+        drift = abs(e1 - e0) / max(abs(e0), 1e-30)
+        result.energy_drift = drift
+        emit(f"# Energy drift |dE/E|: {drift:.3e} "
+             f"(E0={e0:.6g}, E1={e1:.6g})", out)
+    return result
 
 
 class Simulation:
