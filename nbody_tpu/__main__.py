@@ -106,6 +106,7 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every,
     )
     sim = Simulation(cfg)
+    sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)
     if args.device is not None:
         # The reference echoes the device token (ver5_all/main.cpp:42).
         print(args.device)

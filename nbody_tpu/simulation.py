@@ -305,9 +305,32 @@ class Simulation:
     def __init__(self, config: Optional[SimConfig] = None, quiet: bool = False):
         self.config = config or SimConfig()
         self._quiet = quiet
-        if not quiet:
+        self.world_rank = 0  # ver5_all/GSimulation.hpp:60-61 equivalents
+        self.world_size = 1
+        if not quiet and self.world_rank == 0:
             reporting.print_banner()
         self.result: Optional[RunResult] = None
+
+    def init_mpi(self) -> None:
+        """Multi-host bootstrap — the reference's ``init_mpi()``
+        (ver5_all/GSimulation.cpp:93-115).  On a single host this is a
+        no-op; in a multi-process TPU environment (coordinator address in
+        the environment) it initializes jax.distributed and records
+        rank/size.  Non-zero ranks print nothing (the reference gates
+        output on world_rank == 0, ver5_all/GSimulation.cpp:119)."""
+        import os
+
+        if not (
+            os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or int(os.environ.get("NBODY_NUM_PROCESSES", "1")) > 1
+        ):
+            return
+        from .parallel.distributed import init_distributed
+
+        self.world_rank, self.world_size = init_distributed()
+        if self.world_rank != 0:
+            self._quiet = True
 
     def set_number_of_particles(self, n: int) -> None:
         self.config.n = n

@@ -21,6 +21,12 @@ def test_simulation_facade_mirrors_reference_api(capsys):
     assert len(result.samples) == 1
 
 
+def test_init_mpi_single_host_noop():
+    sim = Simulation(SimConfig(n=64, nsteps=50, kernel="naive"), quiet=True)
+    sim.init_mpi()
+    assert sim.world_rank == 0 and sim.world_size == 1
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         SimConfig(n=0)
