@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint instead of fresh init")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
                    help="also checkpoint every K-th sample block")
+    p.add_argument("--snapshot-every", type=int, default=0, metavar="K",
+                   help="dump full state every K-th sample block")
+    p.add_argument("--snapshot-dir", default=None, metavar="DIR")
     p.add_argument("--json", default=None, metavar="PATH",
                    help="also write the run result as JSON ('-' = stdout)")
     p.add_argument("--list-devices", action="store_true",
@@ -104,6 +107,7 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
         save_state_path=args.save_state, load_state_path=args.load_state,
         checkpoint_every=args.checkpoint_every,
+        snapshot_every=args.snapshot_every, snapshot_dir=args.snapshot_dir,
     )
     sim = Simulation(cfg)
     sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)

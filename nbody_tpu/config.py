@@ -46,6 +46,11 @@ class SimConfig:
     load_state_path: Optional[str] = None  # start from this checkpoint
     checkpoint_every: int = 0  # also save every k-th sample block
 
+    # Trajectory snapshots: full state every k-th sample block into
+    # snapshot_dir/step_NNNNNN.npz (no reference analog).
+    snapshot_every: int = 0
+    snapshot_dir: Optional[str] = None
+
     def __post_init__(self):
         if self.n < 1:
             raise ValueError(f"n must be >= 1, got {self.n}")

@@ -83,9 +83,11 @@ def plummer(n: int, seed: int = 0, total_mass: float = 1.0e10,
     return pos.astype(np.float32), vel, m
 
 
-def cold_sphere(n: int, seed: int = 0, total_mass: float = 1.0e12,
+def cold_sphere(n: int, seed: int = 0, total_mass: float = 1.0e10,
                 radius: float = 1.0):
-    """Uniform-density sphere at rest — the classic cold-collapse test."""
+    """Uniform-density sphere at rest — the classic cold-collapse test.
+    Default mass gives a free-fall time ~1.4 with the reference's G, so
+    dt=0.01 resolves the collapse (~step 140)."""
     rng = np.random.default_rng(seed)
     r = radius * rng.random(n) ** (1.0 / 3.0)
     costh = rng.uniform(-1, 1, n)

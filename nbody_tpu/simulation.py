@@ -271,6 +271,17 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
                 and nf % cfg.checkpoint_every == 0
             ):
                 runner.save(cfg.save_state_path, s)
+            if (
+                cfg.snapshot_every
+                and cfg.snapshot_dir
+                and nf % cfg.snapshot_every == 0
+            ):
+                import os
+
+                os.makedirs(cfg.snapshot_dir, exist_ok=True)
+                runner.save(
+                    os.path.join(cfg.snapshot_dir, f"step_{s:06d}.npz"), s
+                )
     t1 = timer.stop()
 
     if cfg.save_state_path:
