@@ -65,7 +65,7 @@ class SimConfig:
 
     def kernel_opts(self) -> dict:
         opts = {}
-        if self.kernel == "pallas" or (self.kernel == "auto"):
+        if self.kernel in ("pallas", "pallas_mxu", "auto"):
             if self.tile_i:
                 opts["tile_i"] = self.tile_i
             if self.tile_j:

@@ -82,10 +82,16 @@ def accelerations_between(
     mass_src: jax.Array,
     tile_i: int = DEFAULT_TILE_I,
     tile_j: int = DEFAULT_TILE_J,
+    dist_dtype: str = "float32",
     interpret: bool = False,
 ) -> jax.Array:
     """MXU-path accelerations of targets due to sources. (3,Nt)/(3,Ns)/(Ns,)
     -> (3, Nt) fp32."""
+    if jnp.dtype(dist_dtype) != jnp.float32:
+        raise ValueError(
+            "pallas_mxu supports only fp32 distances (the |r|^2 expansion "
+            "already loses bits; use --kernel pallas for bf16 mode)"
+        )
     nt = pos_tgt.shape[1]
     ns = pos_src.shape[1]
     ti = min(tile_i, nt)

@@ -61,3 +61,18 @@ def test_thread_dims_map_to_tiles():
     cfg = SimConfig(tile_i=128, tile_j=256)
     assert cfg.kernel_opts()["tile_i"] == 128
     assert cfg.kernel_opts()["tile_j"] == 256
+    # tiles reach every pallas-family kernel, incl. the MXU experiment
+    cfg = SimConfig(kernel="pallas_mxu", tile_i=128)
+    assert cfg.kernel_opts()["tile_i"] == 128
+
+
+def test_mxu_rejects_bf16():
+    import numpy as np
+    import pytest as _pytest
+
+    from nbody_tpu.ops import pallas_mxu
+
+    pos = np.zeros((3, 128), np.float32)
+    mass = np.ones(128, np.float32)
+    with _pytest.raises(ValueError):
+        pallas_mxu.accelerations(pos, mass, dist_dtype="bfloat16")
