@@ -1,0 +1,75 @@
+"""True multi-process distribution: two OS processes, each with four
+virtual CPU devices, forming one 8-device global mesh with cross-process
+collectives (the DCN analog of the reference's mpirun workflow —
+ver5_all/GSimulation.cpp:93-115 — which the reference itself never tests)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+port, pid, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+from nbody_tpu.init import make_state
+from nbody_tpu.parallel.decompose import make_sharded_block_fn, shard_state
+from nbody_tpu.parallel.mesh import make_mesh
+
+mesh = make_mesh(8)
+state = make_state(512, pad_multiple=8)
+sharded, _ = shard_state(state, 8, mesh=mesh)
+blk = make_sharded_block_fn("naive", {}, 0.1, 5, mesh, comm="ring")
+out, ke = blk(sharded)
+print("KE_RESULT", float(ke))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_ring_matches_single_device(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = str(_free_port())
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    kes = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out
+        for line in out.splitlines():
+            if line.startswith("KE_RESULT"):
+                kes.append(float(line.split()[1]))
+    assert len(kes) == 2 and kes[0] == kes[1]
+
+    # single-device reference value (in this process)
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import make_accel_fn
+    from nbody_tpu.models.integrators import make_block_fn
+
+    state = make_state(512, pad_multiple=8)
+    blk = make_block_fn(make_accel_fn("naive"), 0.1, 5)
+    _, ke_ref = blk(state)
+    assert kes[0] == pytest.approx(float(ke_ref), rel=1e-5)
