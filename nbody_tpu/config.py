@@ -28,6 +28,7 @@ class SimConfig:
     tile_i: int = 0  # 0 = kernel default
     tile_j: int = 0
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
+    fused: bool = False  # whole sample block in one VMEM-resident kernel
     precision: str = "f32"  # f32 | bf16 | ref64 (bit-exact host oracle)
 
     # Parallelism (the USE_MPI axis, as GSPMD sharding).

@@ -51,6 +51,29 @@ def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
     return _mk(accel_fn, dt, block_steps, integrator=integrator)
 
 
+def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
+                        tile_j: int = 0, interpret: bool = False):
+    """Jitted sample block running entirely inside one Pallas call with the
+    state VMEM-resident (ops/fused_block.py).  Euler, fp32, single-device,
+    N <= fused_block.MAX_FUSED_N.  Same (state) -> (state, ke) contract as
+    make_block_fn."""
+    from ..ops import fused_block as fb
+
+    ti = tile_i or fb.DEFAULT_TILE_I
+    tj = tile_j or fb.DEFAULT_TILE_J
+
+    @jax.jit
+    def block(state: ParticleState):
+        pos, vel = fb.fused_block(
+            state.pos, state.vel, state.mass, dt, block_steps,
+            tile_i=ti, tile_j=tj, interpret=interpret,
+        )
+        new = ParticleState(pos=pos, vel=vel, mass=state.mass, n=state.n)
+        return new, kinetic_energy(new)
+
+    return block
+
+
 def potential_energy(state: ParticleState, chunk: int = 1024) -> jax.Array:
     """Softened potential energy, consistent with the force law:
     PE = -(G/2) sum_i sum_j m_i m_j (|r_ij|^2 + eps)^(-1/2).

@@ -1,0 +1,49 @@
+"""Fused sample-block kernel (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.init import make_state
+from nbody_tpu.models.gravity import make_accel_fn, make_fused_block_fn
+from nbody_tpu.models.integrators import make_block_fn
+from nbody_tpu.ops.fused_block import MAX_FUSED_N, fused_block
+
+
+def test_fused_matches_unfused():
+    state = make_state(256)
+    p, v = fused_block(
+        state.pos, state.vel, state.mass, 0.1, 10,
+        tile_i=128, tile_j=256, interpret=True,
+    )
+    blk = make_block_fn(make_accel_fn("naive"), 0.1, 10)
+    want, ke = blk(state)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(want.pos),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(want.vel),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_fused_block_fn_contract():
+    state = make_state(128)
+    blk = make_fused_block_fn(0.1, 5, tile_i=128, tile_j=128, interpret=True)
+    out, ke = blk(state)
+    ublk = make_block_fn(make_accel_fn("naive"), 0.1, 5)
+    want, ke_want = ublk(state)
+    assert float(ke) == pytest.approx(float(ke_want), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(want.pos),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fused_size_guard():
+    state = make_state(MAX_FUSED_N + 512)
+    with pytest.raises(ValueError):
+        fused_block(state.pos, state.vel, state.mass, 0.1, 1, interpret=True)
+
+
+def test_engine_rejects_ineligible_fused():
+    from nbody_tpu.simulation import run
+
+    with pytest.raises(ValueError):
+        run(SimConfig(n=128, nsteps=50, fused=True, integrator="leapfrog"),
+            quiet=True)
