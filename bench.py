@@ -21,12 +21,16 @@ import time
 
 REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
 
-# BASELINE.md benchmark configurations (precision mode, N, steps).
+# BASELINE.md benchmark configurations (precision mode, N, timed steps,
+# fused).  Small-N configs use long step counts so the timing signal
+# dominates per-run jitter (~tens of ms on tunneled backends); the rate is
+# steady-state either way.
 SUITE = (
-    ("parity-n2000", "f32", 2000, 500),
-    ("single-chip-n16384", "f32", 16384, 500),
-    ("bf16-n131072", "bf16", 131072, 100),
-    ("n1m", "f32", 1048576, 4),
+    ("parity-n2000", "f32", 2000, 20000, False),
+    ("parity-n2000-fused", "f32", 2000, 20000, True),
+    ("single-chip-n16384", "f32", 16384, 500, False),
+    ("bf16-n131072", "bf16", 131072, 100, False),
+    ("n1m", "f32", 1048576, 4, False),
 )
 
 
@@ -34,8 +38,9 @@ def _suite(kernel: str) -> int:
     from nbody_tpu.config import SimConfig
     from nbody_tpu.utils.flops import pairs_per_step, step_gflops
 
-    for name, precision, n, steps in SUITE:
-        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel, precision=precision)
+    for name, precision, n, steps, fused in SUITE:
+        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel,
+                        precision=precision, fused=fused)
         half = max(1, steps // 2)
         t_half = _timed_steps(cfg, half)
         t_full = _timed_steps(cfg, 2 * half)
@@ -59,16 +64,28 @@ def _suite(kernel: str) -> int:
 def _timed_steps(cfg, nsteps):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
     from nbody_tpu.init import make_state
-    from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
+    from nbody_tpu.models.gravity import (
+        make_accel_fn,
+        make_block_fn,
+        make_fused_block_fn,
+    )
 
     state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
-    blk = make_block_fn(make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps)
+    if getattr(cfg, "fused", False):
+        blk = make_fused_block_fn(cfg.dt, nsteps)
+    else:
+        blk = make_block_fn(
+            make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps
+        )
     out, ke = blk(state)
     float(ke)  # compile + execute once (sync via fetch)
-    t0 = time.perf_counter()
-    out, ke = blk(state)
-    float(ke)
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):  # min-of-3 suppresses transient jitter/contention
+        t0 = time.perf_counter()
+        out, ke = blk(state)
+        float(ke)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> int:
