@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# TPU acceptance check: runs the parity configuration on the default
+# accelerator with both kernel paths and diffs the kenergy column against
+# the golden reference capture.  Exits non-zero on any mismatch.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+GOLDEN=tests/golden/ver0_n2000_s500.txt
+extract() { grep -E '^\s+[0-9]+' | awk '{print $1, $3}'; }
+
+want="$(extract < "$GOLDEN")"
+for args in "--kernel pallas" "--fused" "--kernel pallas --precision bf16"; do
+    echo "== python -m nbody_tpu 2000 500 $args"
+    got="$(python -m nbody_tpu 2000 500 $args 2>/dev/null | extract)"
+    if [ "$args" = "--kernel pallas --precision bf16" ]; then
+        # bf16 distances: trajectory-level agreement is not expected in the
+        # chaotic regime; just require a sane finite trace.
+        echo "$got" | awk '{if ($2+0 != $2) exit 1}' \
+            && echo "   bf16 trace finite ok" || { echo "FAIL"; exit 1; }
+    elif [ "$got" = "$want" ]; then
+        echo "   kenergy trace matches reference exactly"
+    else
+        echo "FAIL: trace mismatch"; diff <(echo "$want") <(echo "$got") || true
+        exit 1
+    fi
+done
+python bench.py
+echo "TPU acceptance: OK"
