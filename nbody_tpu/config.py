@@ -61,8 +61,12 @@ class SimConfig:
             raise ValueError(f"sfreq must be >= 1, got {self.sfreq}")
         if self.shards < 1:
             raise ValueError(f"shards must be >= 1, got {self.shards}")
-        if self.precision not in ("f32", "bf16", "ref64"):
-            raise ValueError(f"unknown precision {self.precision!r}")
+        from .types import PRECISIONS
+
+        if self.precision not in PRECISIONS:
+            raise ValueError(
+                f"unknown precision {self.precision!r}; options: {PRECISIONS}"
+            )
 
     def kernel_opts(self) -> dict:
         opts = {}

@@ -20,6 +20,7 @@ import numpy as np
 SOFTENING_SQUARED = 1e-3
 G_NEWTON = 6.67259e-11
 
-STATE_DTYPE = np.float32
+STATE_DTYPE = np.float32  # fp32 state everywhere (reference real_type)
 
+# Engine precision modes (see module docstring).
 PRECISIONS = ("f32", "bf16", "ref64")
