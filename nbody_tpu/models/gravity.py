@@ -52,11 +52,15 @@ def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
 
 
 def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
-                        tile_j: int = 0, interpret: bool = False):
+                        tile_j: int = 0, integrator: str = "euler",
+                        interpret: bool = False):
     """Jitted sample block running entirely inside one Pallas call with the
-    state VMEM-resident (ops/fused_block.py).  Euler, fp32, single-device,
+    state VMEM-resident (ops/fused_block.py).  fp32, single-device,
     N <= fused_block.MAX_FUSED_N.  Same (state) -> (state, ke) contract as
-    make_block_fn."""
+    make_block_fn.
+
+    Note: fused leapfrog re-seeds the carried acceleration each block (one
+    extra pair sweep per block), identical to the unfused leapfrog."""
     from ..ops import fused_block as fb
 
     ti = tile_i or fb.DEFAULT_TILE_I
@@ -66,7 +70,7 @@ def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
     def block(state: ParticleState):
         pos, vel = fb.fused_block(
             state.pos, state.vel, state.mass, dt, block_steps,
-            tile_i=ti, tile_j=tj, interpret=interpret,
+            tile_i=ti, tile_j=tj, integrator=integrator, interpret=interpret,
         )
         new = ParticleState(pos=pos, vel=vel, mass=state.mass, n=state.n)
         return new, kinetic_energy(new)

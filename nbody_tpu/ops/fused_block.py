@@ -39,12 +39,13 @@ DEFAULT_TILE_J = 2048
 
 
 def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
-            rows_s, acc_s, *, steps, dt, tile_i, tile_j):
+            rows_s, acc_s, *, steps, dt, tile_i, tile_j, integrator):
     n = p_rows_in.shape[1]
     ni = n // tile_i
     nj = n // tile_j
     f32 = jnp.float32
     dtf = f32(dt)
+    half = f32(0.5) * dtf
     eps2 = f32(SOFTENING_SQUARED)
 
     rows_s[...] = p_rows_in[...]
@@ -52,7 +53,8 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
     v_cols_out[...] = v_cols_in[...]
     acc_s[...] = jnp.zeros_like(acc_s)
 
-    def step_body(_, carry):
+    def sweep():
+        """One i x j pair sweep of the current positions into acc_s."""
         for it in range(ni):
             sl = pl.ds(it * tile_i, tile_i)
             xi = p_cols_out[sl, 0:1]  # (TI, 1)
@@ -79,13 +81,33 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
             acc_s[sl, 0:1] = ax
             acc_s[sl, 1:2] = ay
             acc_s[sl, 2:3] = az
-        v = v_cols_out[...] + acc_s[...] * dtf  # cols 3..7 stay zero
-        v_cols_out[...] = v
+
+    def move(v):
+        """Drift positions by v*dt in both layouts."""
         p_new = p_cols_out[...] + v * dtf
         p_cols_out[...] = p_new
         rows_s[0:3, :] = jnp.transpose(p_new[:, 0:3])
-        return carry
 
+    if integrator == "euler":
+
+        def step_body(_, carry):
+            sweep()
+            v = v_cols_out[...] + acc_s[...] * dtf  # cols 3..7 stay zero
+            v_cols_out[...] = v
+            move(v)
+            return carry
+
+    else:  # leapfrog KDK with the acceleration carried in acc_s
+
+        def step_body(_, carry):
+            v_half = v_cols_out[...] + acc_s[...] * half  # kick
+            move(v_half)                                  # drift
+            sweep()                                       # new forces
+            v_cols_out[...] = v_half + acc_s[...] * half  # kick
+            return carry
+
+    if integrator == "leapfrog":
+        sweep()  # seed the carried acceleration from the initial positions
     jax.lax.fori_loop(0, steps, step_body, 0)
 
 
@@ -97,10 +119,13 @@ def fused_block(
     steps: int,
     tile_i: int = DEFAULT_TILE_I,
     tile_j: int = DEFAULT_TILE_J,
+    integrator: str = "euler",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Advance (pos (3,N), vel (3,N)) by ``steps`` Euler steps in one
-    Pallas call.  Returns (pos, vel)."""
+    """Advance (pos (3,N), vel (3,N)) by ``steps`` steps in one Pallas
+    call (euler or leapfrog).  Returns (pos, vel)."""
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
     n = pos.shape[1]
     ti = min(tile_i, n)
     tj = min(tile_j, n)
@@ -122,7 +147,8 @@ def fused_block(
     )
 
     kernel = functools.partial(
-        _kernel, steps=steps, dt=dt, tile_i=ti, tile_j=tj
+        _kernel, steps=steps, dt=dt, tile_i=ti, tile_j=tj,
+        integrator=integrator,
     )
     p_out, v_out = pl.pallas_call(
         kernel,

@@ -139,19 +139,16 @@ class _DeviceRunner(_BlockRunner):
             from .models.gravity import make_fused_block_fn
             from .ops.fused_block import MAX_FUSED_N
 
-            if (
-                cfg.integrator != "euler"
-                or cfg.precision != "f32"
-                or state.n_padded > MAX_FUSED_N
-            ):
+            if cfg.precision != "f32" or state.n_padded > MAX_FUSED_N:
                 raise ValueError(
-                    "--fused requires the euler integrator, f32 precision, "
-                    f"a single device and padded N <= {MAX_FUSED_N}"
+                    "--fused requires f32 precision, a single device and "
+                    f"padded N <= {MAX_FUSED_N}"
                 )
             self._block_for = lambda steps: self._cached(
                 steps,
                 lambda: make_fused_block_fn(
-                    cfg.dt, steps, tile_i=cfg.tile_i, tile_j=cfg.tile_j
+                    cfg.dt, steps, tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                    integrator=cfg.integrator,
                 ),
             )
         else:

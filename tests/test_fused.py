@@ -35,6 +35,20 @@ def test_fused_block_fn_contract():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_fused_leapfrog_matches_unfused():
+    state = make_state(256)
+    p, v = fused_block(
+        state.pos, state.vel, state.mass, 0.1, 8,
+        tile_i=128, tile_j=256, integrator="leapfrog", interpret=True,
+    )
+    blk = make_block_fn(make_accel_fn("naive"), 0.1, 8, integrator="leapfrog")
+    want, _ = blk(state)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(want.pos),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(want.vel),
+                               rtol=1e-6, atol=1e-10)
+
+
 def test_fused_size_guard():
     state = make_state(MAX_FUSED_N + 512)
     with pytest.raises(ValueError):
@@ -45,5 +59,5 @@ def test_engine_rejects_ineligible_fused():
     from nbody_tpu.simulation import run
 
     with pytest.raises(ValueError):
-        run(SimConfig(n=128, nsteps=50, fused=True, integrator="leapfrog"),
+        run(SimConfig(n=128, nsteps=50, fused=True, precision="bf16"),
             quiet=True)
