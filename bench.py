@@ -71,7 +71,17 @@ def _timed_steps(cfg, nsteps):
     )
 
     state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
-    if getattr(cfg, "fused", False):
+    if cfg.shards > 1:
+        from nbody_tpu.parallel.decompose import (
+            make_sharded_block_fn,
+            shard_state,
+        )
+
+        state, mesh = shard_state(state, cfg.shards)
+        blk = make_sharded_block_fn(
+            cfg.kernel, cfg.kernel_opts(), cfg.dt, nsteps, mesh, comm=cfg.comm
+        )
+    elif getattr(cfg, "fused", False):
         blk = make_fused_block_fn(cfg.dt, nsteps)
     else:
         blk = make_block_fn(
@@ -95,6 +105,9 @@ def main() -> int:
     p.add_argument("--n", type=int, default=16384)
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--kernel", default="auto")
+    p.add_argument("--shards", type=int, default=1,
+                   help="particle-shard the run over this many devices "
+                        "(ring comm); ready for multi-chip rounds")
     p.add_argument("--suite", action="store_true",
                    help="run every BASELINE.md config that fits the "
                         "available devices (one JSON line per config)")
@@ -106,7 +119,8 @@ def main() -> int:
     if args.suite:
         return _suite(args.kernel)
 
-    cfg = SimConfig(n=args.n, nsteps=args.steps, kernel=args.kernel)
+    cfg = SimConfig(n=args.n, nsteps=args.steps, kernel=args.kernel,
+                    shards=args.shards, comm="ring")
 
     # Difference-method timing: run L and 2L steps, attribute T(2L)-T(L)
     # to L steps.  This cancels fixed per-run costs (host dispatch and the
