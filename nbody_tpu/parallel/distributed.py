@@ -28,7 +28,13 @@ def init_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:
-        # Already initialized (or single-process run): proceed.
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg:
+            pass  # initialized earlier in this process — fine
+        elif "must be called before" in msg and num_processes in (None, 1):
+            # Backends are already up but this is a single-process run, so
+            # there is nothing to coordinate; proceed.
+            pass
+        else:
             raise
     return jax.process_index(), jax.process_count()
