@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint instead of fresh init")
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
                    help="also checkpoint every K-th sample block")
+    p.add_argument("--checkpoint-backend", default="npz",
+                   choices=["npz", "orbax"])
     p.add_argument("--snapshot-every", type=int, default=0, metavar="K",
                    help="dump full state every K-th sample block")
     p.add_argument("--snapshot-dir", default=None, metavar="DIR")
@@ -110,6 +112,7 @@ def main(argv=None) -> int:
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
         save_state_path=args.save_state, load_state_path=args.load_state,
         checkpoint_every=args.checkpoint_every,
+        checkpoint_backend=args.checkpoint_backend,
         snapshot_every=args.snapshot_every, snapshot_dir=args.snapshot_dir,
     )
     sim = Simulation(cfg)

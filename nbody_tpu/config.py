@@ -46,6 +46,7 @@ class SimConfig:
     save_state_path: Optional[str] = None  # write final state here
     load_state_path: Optional[str] = None  # start from this checkpoint
     checkpoint_every: int = 0  # also save every k-th sample block
+    checkpoint_backend: str = "npz"  # npz | orbax (see utils/checkpoint.py)
 
     # Trajectory snapshots: full state every k-th sample block into
     # snapshot_dir/step_NNNNNN.npz (no reference analog).

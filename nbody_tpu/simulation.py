@@ -91,9 +91,14 @@ class _DeviceRunner(_BlockRunner):
         self._blocks = {}
 
     def save(self, path: str, step: int) -> None:
-        from .utils.checkpoint import save_state
+        if self.cfg.checkpoint_backend == "orbax":
+            from .utils.checkpoint import save_state_orbax
 
-        save_state(path, self.state, step)
+            save_state_orbax(path, self.state, step)
+        else:
+            from .utils.checkpoint import save_state
+
+            save_state(path, self.state, step)
 
     def prepare(self) -> None:
         cfg = self.cfg

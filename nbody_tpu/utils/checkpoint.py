@@ -2,18 +2,27 @@
 
 The reference keeps state only in RAM for the lifetime of a run
 (SURVEY.md §5 — no checkpointing anywhere).  Here the SoA state is one
-pytree, so a checkpoint is a single compressed npz: positions, velocities,
-masses (real particles only — padding is reconstructed on load), plus the
-absolute step counter for bookkeeping.
+pytree, with two backends:
+
+* ``npz`` (default) — one compressed file: positions, velocities, masses
+  (real particles only; padding is reconstructed on load) plus the
+  absolute step counter.  Right for single-host runs of any N that fits
+  host memory.
+* ``orbax`` — directory-based orbax-checkpoint save of the device pytree.
+  Saves the padded arrays directly from device shards without a host
+  gather, which is what large multi-host sharded states need.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 from ..state import ParticleState, pad_state, round_up
 
 FORMAT_VERSION = 1
+BACKENDS = ("npz", "orbax")
 
 
 def save_state(path: str, state: ParticleState, step: int = 0) -> None:
@@ -30,7 +39,58 @@ def save_state(path: str, state: ParticleState, step: int = 0) -> None:
     )
 
 
+def save_state_orbax(dirpath: str, state: ParticleState, step: int = 0) -> None:
+    """Save the (padded) device state as an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(dirpath),
+        dict(
+            pos=state.pos,
+            vel=state.vel,
+            mass=state.mass,
+            n=np.int64(state.n),
+            step=np.int64(step),
+            version=np.int64(FORMAT_VERSION),
+        ),
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(dirpath: str) -> tuple[ParticleState, int]:
+    """Restore an orbax checkpoint (single-host restore; for multi-host
+    resharded restores pass the arrays through jax.device_put with the
+    target sharding afterwards)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    t = ckptr.restore(os.path.abspath(dirpath))
+    if int(t["version"]) > FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(t['version'])} too new")
+    state = ParticleState(
+        pos=jnp.asarray(t["pos"]),
+        vel=jnp.asarray(t["vel"]),
+        mass=jnp.asarray(t["mass"]),
+        n=int(t["n"]),
+    )
+    return state, int(t["step"])
+
+
 def load_state(path: str, pad_multiple: int = 1) -> tuple[ParticleState, int]:
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        state, step = load_state_orbax(path)
+        if state.n_padded % max(1, pad_multiple):
+            from ..state import to_host
+
+            host = to_host(state)
+            state = pad_state(
+                host["pos"], host["vel"], host["mass"],
+                round_up(state.n, max(1, pad_multiple)),
+            )
+        return state, step
     with np.load(path) as f:
         version = int(f["version"])
         if version > FORMAT_VERSION:

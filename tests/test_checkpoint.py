@@ -1,6 +1,7 @@
 """Checkpoint / resume round-trips."""
 
 import numpy as np
+import pytest
 
 from nbody_tpu.config import SimConfig
 from nbody_tpu.init import make_state
@@ -21,6 +22,39 @@ def test_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.mass), np.asarray(state.mass)
     )
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from nbody_tpu.utils.checkpoint import load_state_orbax, save_state_orbax
+
+    path = str(tmp_path / "orbax_ck")
+    state = make_state(100, pad_multiple=64)
+    save_state_orbax(path, state, step=7)
+    loaded, step = load_state_orbax(path)
+    assert step == 7 and loaded.n == 100
+    np.testing.assert_array_equal(np.asarray(loaded.pos), np.asarray(state.pos))
+    # the generic loader auto-detects the directory format
+    loaded2, step2 = load_state(path, pad_multiple=64)
+    assert step2 == 7 and loaded2.n_padded % 64 == 0
+
+
+def test_orbax_through_engine(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    path = str(tmp_path / "ock")
+    run(
+        SimConfig(n=128, nsteps=50, kernel="naive", save_state_path=path,
+                  checkpoint_backend="orbax"),
+        quiet=True,
+    )
+    resumed = run(
+        SimConfig(n=128, nsteps=50, kernel="naive", load_state_path=path),
+        quiet=True,
+    )
+    full = run(SimConfig(n=128, nsteps=100, kernel="naive"), quiet=True)
+    ke_r = resumed.kenergy_trace[-1][1]
+    ke_f = full.kenergy_trace[-1][1]
+    assert abs(ke_r - ke_f) <= 1e-5 * abs(ke_f)
 
 
 def test_resume_continues_trajectory(tmp_path):
