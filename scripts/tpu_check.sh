@@ -24,5 +24,12 @@ for args in "--kernel pallas" "--fused" "--kernel pallas --precision bf16"; do
         exit 1
     fi
 done
-python bench.py
+bench_json="$(python bench.py 2>/dev/null | tail -1)"
+echo "$bench_json"
+python - "$bench_json" <<'PY'
+import json, sys
+r = json.loads(sys.argv[1])
+assert r["vs_baseline"] > 500, f"performance regression: {r['vs_baseline']}x"
+print(f"   perf sanity ok ({r['vs_baseline']}x baseline)")
+PY
 echo "TPU acceptance: OK"

@@ -88,6 +88,22 @@ def test_sharded_pallas_interpret():
     assert float(ke) == pytest.approx(float(ref_ke), rel=1e-4)
 
 
+def test_sharded_bf16_matches_single_device():
+    n, steps = 256, 5
+    opts = dict(dist_dtype="bfloat16")
+    state = make_state(n, pad_multiple=8)
+    blk1 = make_block_fn(make_accel_fn("naive", **opts), 0.1, steps)
+    ref_state, ref_ke = blk1(state)
+    sharded, mesh = shard_state(state, 8)
+    blk8 = make_sharded_block_fn("naive", opts, 0.1, steps, mesh, comm="ring")
+    out_state, ke = blk8(sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_state.pos), np.asarray(ref_state.pos), rtol=2e-6,
+        atol=1e-10,
+    )
+    assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
+
+
 def test_sharded_leapfrog_matches_single_device():
     n, steps = 256, 8
     state = make_state(n, pad_multiple=8)

@@ -22,7 +22,9 @@ from .util import parse_golden_trace
 
 
 @pytest.mark.parametrize("n,steps,fname", [
+    (128, 50, "ver0_n128_s50.txt"),
     (256, 100, "ver0_n256_s100.txt"),
+    (1024, 200, "ver0_n1024_s200.txt"),
     (2000, 50, "ver0_n2000_s50.txt"),
 ])
 def test_device_trace_matches_reference(golden_dir, n, steps, fname):
