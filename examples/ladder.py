@@ -33,6 +33,7 @@ def main() -> int:
         ("pallas bf16-dist", "pallas", {"dist_dtype": "bfloat16"}),
         ("pallas mxu experiment", "pallas_mxu", {}),
     ]
+    fused_eligible = n <= 4096
 
     state = make_state(n, pad_multiple=1024)
     print(f" N={n}, {steps} steps per rung, backend={jax.default_backend()}")
@@ -53,6 +54,20 @@ def main() -> int:
         gf = step_gflops(n) / dt
         base = base or dt
         print(f" {label:32s} {dt * 1e3:>10.3f}ms {gf:>10.1f} {base / dt:>7.2f}x")
+
+    if fused_eligible:
+        from nbody_tpu.models.gravity import make_fused_block_fn
+
+        blk = make_fused_block_fn(0.1, steps)
+        _, ke = blk(state)
+        float(ke)
+        t0 = time.perf_counter()
+        _, ke = blk(state)
+        float(ke)
+        dt = (time.perf_counter() - t0) / steps
+        gf = step_gflops(n) / dt
+        print(f" {'fused VMEM-resident block':32s} {dt * 1e3:>10.3f}ms "
+              f"{gf:>10.1f} {base / dt:>7.2f}x")
     return 0
 
 

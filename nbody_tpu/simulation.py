@@ -240,7 +240,7 @@ class _OracleRunner(_BlockRunner):
 
 
 def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
-    emit = (lambda *_: None) if quiet else reporting._emit
+    emit = (lambda *_: None) if quiet else reporting.emit
 
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)

@@ -25,7 +25,7 @@ def banner() -> str:
 
 
 def print_banner(out=None) -> None:
-    _emit(banner(), out)
+    emit(banner(), out)
 
 
 def header(n: int, nsteps: int, dt: float) -> str:
@@ -61,13 +61,14 @@ def footer(nthreads: int, total_time: float, av: float, dev: float) -> str:
     )
 
 
-def _emit(text: str, out=None) -> None:
+def emit(text: str, out=None) -> None:
     if out is None:
         print(text, flush=True)
     else:
         out.write(text + "\n")
 
 
-print_header = lambda n, nsteps, dt, out=None: _emit(header(n, nsteps, dt), out)
-print_stats = lambda *a, **kw: _emit(stats_row(*a), kw.get("out"))
-print_flops = lambda *a, **kw: _emit(footer(*a), kw.get("out"))
+
+print_header = lambda n, nsteps, dt, out=None: emit(header(n, nsteps, dt), out)
+print_stats = lambda *a, **kw: emit(stats_row(*a), kw.get("out"))
+print_flops = lambda *a, **kw: emit(footer(*a), kw.get("out"))
