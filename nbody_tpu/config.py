@@ -85,9 +85,10 @@ class SimConfig:
         import math
 
         from .ops.pallas_kernel import DEFAULT_TILE_I, DEFAULT_TILE_J
+        from .ops.registry import resolve
 
         ti = self.tile_i or DEFAULT_TILE_I
         tj = self.tile_j or DEFAULT_TILE_J
-        if self.kernel == "naive":
+        if resolve(self.kernel) == "naive":
             ti = tj = 1
         return math.lcm(ti, tj) * max(1, self.shards)
