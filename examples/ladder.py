@@ -58,16 +58,20 @@ def main() -> int:
     if fused_eligible:
         from nbody_tpu.models.gravity import make_fused_block_fn
 
-        blk = make_fused_block_fn(0.1, steps)
-        _, ke = blk(state)
-        float(ke)
-        t0 = time.perf_counter()
-        _, ke = blk(state)
-        float(ke)
-        dt = (time.perf_counter() - t0) / steps
-        gf = step_gflops(n) / dt
-        print(f" {'fused VMEM-resident block':32s} {dt * 1e3:>10.3f}ms "
-              f"{gf:>10.1f} {base / dt:>7.2f}x")
+        try:
+            blk = make_fused_block_fn(0.1, steps)
+            _, ke = blk(state)
+            float(ke)
+            t0 = time.perf_counter()
+            _, ke = blk(state)
+            float(ke)
+            dt = (time.perf_counter() - t0) / steps
+            gf = step_gflops(n) / dt
+            print(f" {'fused VMEM-resident block':32s} {dt * 1e3:>10.3f}ms "
+                  f"{gf:>10.1f} {base / dt:>7.2f}x")
+        except Exception as e:
+            print(f" {'fused VMEM-resident block':32s} "
+                  f"{'FAILED: ' + type(e).__name__:>12s}")
     return 0
 
 
