@@ -101,6 +101,10 @@ def _timed_steps(cfg, nsteps):
 def main() -> int:
     import argparse
 
+    from nbody_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=16384)
     p.add_argument("--steps", type=int, default=500)

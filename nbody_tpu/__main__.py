@@ -83,8 +83,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across CLI invocations (compile times
+    on remote-compile backends can reach minutes for new shapes)."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "nbody_tpu", "xla",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only filesystem: run without the cache
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
     if args.list_devices:
         import jax
 
