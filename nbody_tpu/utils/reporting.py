@@ -69,6 +69,16 @@ def emit(text: str, out=None) -> None:
 
 
 
-print_header = lambda n, nsteps, dt, out=None: emit(header(n, nsteps, dt), out)
-print_stats = lambda *a, **kw: emit(stats_row(*a), kw.get("out"))
-print_flops = lambda *a, **kw: emit(footer(*a), kw.get("out"))
+# Named like the reference's refactored printers (ver5_all/GSimulation.cpp:
+# 117-168): print_header / print_stats / print_flops.
+
+def print_header(n, nsteps, dt, out=None):
+    emit(header(n, nsteps, dt), out)
+
+
+def print_stats(s, t_phys, kenergy, seconds, gflops, out=None):
+    emit(stats_row(s, t_phys, kenergy, seconds, gflops), out)
+
+
+def print_flops(nthreads, total_time, av, dev, out=None):
+    emit(footer(nthreads, total_time, av, dev), out)
