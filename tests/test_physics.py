@@ -72,6 +72,25 @@ def test_integrator_convergence_order(integrator, min_ratio):
     assert d1 / max(d2, 1e-300) > min_ratio
 
 
+def test_leapfrog_time_reversibility():
+    # Leapfrog is time-symmetric: integrate forward, negate velocities,
+    # integrate the same number of steps, and the initial positions come
+    # back (up to fp32 noise).  Euler has no such symmetry.
+    import jax.numpy as jnp
+
+    from nbody_tpu.state import ParticleState
+
+    state = _binary_state()
+    accel = make_accel_fn("naive", chunk=2)
+    blk = make_block_fn(accel, 0.02, 80, integrator="leapfrog")
+    fwd, _ = blk(state)
+    back = ParticleState(pos=fwd.pos, vel=-fwd.vel, mass=fwd.mass, n=fwd.n)
+    ret, _ = blk(back)
+    np.testing.assert_allclose(
+        np.asarray(ret.pos), np.asarray(state.pos), atol=1e-4
+    )
+
+
 def test_single_particle_is_inertial():
     # One particle: zero force; position advances linearly.
     import jax.numpy as jnp
