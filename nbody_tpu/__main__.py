@@ -48,7 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run each sample block as ONE VMEM-resident kernel "
                         "(euler/f32/single-device, N<=4096)")
     p.add_argument("--shards", type=int, default=1)
-    p.add_argument("--comm", default="allgather", choices=["allgather", "ring"])
+    p.add_argument("--comm", default="allgather",
+                   choices=["allgather", "ring", "rdma"],
+                   help="sharded source exchange: XLA all-gather, XLA "
+                        "ppermute ring, or the fused in-kernel RDMA ring")
     p.add_argument("--sfreq", type=int, default=50)
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--integrator", default="euler",

@@ -101,17 +101,37 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
     from ..models.integrators import INTEGRATORS
     from ..ops import registry
 
-    between_fn = registry.get_between(kernel_name)
-    if kernel_opts:
-        between_fn = functools.partial(between_fn, **kernel_opts)
-    try:
-        accel_mode = _ACCEL_MODES[comm]
-    except KeyError:
-        raise ValueError(
-            f"unknown comm mode {comm!r}; options: {sorted(_ACCEL_MODES)}"
-        ) from None
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}")
+
+    if comm == "rdma":
+        # The fused in-kernel RDMA ring (ring_kernel.py).
+        from .ring_kernel import ring_accelerations
+
+        k = int(mesh.shape[AXIS])
+        ropts = {
+            key: v
+            for key, v in kernel_opts.items()
+            if key in ("tile_i", "tile_j", "interpret")
+        }
+
+        def accel_local(p, m):
+            return ring_accelerations(p, m, k, **ropts)
+
+    else:
+        between_fn = registry.get_between(kernel_name)
+        if kernel_opts:
+            between_fn = functools.partial(between_fn, **kernel_opts)
+        try:
+            accel_mode = _ACCEL_MODES[comm]
+        except KeyError:
+            raise ValueError(
+                f"unknown comm mode {comm!r}; options: "
+                f"{sorted(_ACCEL_MODES) + ['rdma']}"
+            ) from None
+
+        def accel_local(p, m):
+            return accel_mode(between_fn, p, m)
 
     dtf = jnp.float32(dt)
     half = jnp.float32(0.5) * dtf
@@ -121,20 +141,20 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
 
             def step(_, carry):
                 p, v = carry
-                acc = accel_mode(between_fn, p, mass)
+                acc = accel_local(p, mass)
                 v = v + acc * dtf
                 p = p + v * dtf
                 return (p, v)
 
             pos, vel = lax.fori_loop(0, block_steps, step, (pos, vel))
         else:  # leapfrog (kick-drift-kick, acceleration carried)
-            acc0 = accel_mode(between_fn, pos, mass)
+            acc0 = accel_local(pos, mass)
 
             def step(_, carry):
                 p, v, acc = carry
                 v_h = v + acc * half
                 p = p + v_h * dtf
-                acc_n = accel_mode(between_fn, p, mass)
+                acc_n = accel_local(p, mass)
                 return (p, v_h + acc_n * half, acc_n)
 
             pos, vel, _ = lax.fori_loop(0, block_steps, step, (pos, vel, acc0))
