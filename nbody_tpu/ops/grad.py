@@ -30,8 +30,6 @@ Two backward implementations share the math:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

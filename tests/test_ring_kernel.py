@@ -17,7 +17,7 @@ from nbody_tpu.parallel.decompose import (
     shard_state,
     shard_map,
 )
-from nbody_tpu.parallel.mesh import AXIS, make_mesh
+from nbody_tpu.parallel.mesh import AXIS
 from nbody_tpu.parallel.ring_kernel import ring_accelerations
 
 pytestmark = pytest.mark.skipif(
