@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-device tile-size sweep before the run")
     p.add_argument("--fused", action="store_true",
                    help="run each sample block as ONE VMEM-resident kernel "
-                        "(euler/f32/single-device, N<=4096)")
+                        "(f32/single-device, N<=4096)")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpreter mode (debug / "
+                        "exercise the pallas paths on CPU)")
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--comm", default="allgather",
                    choices=["allgather", "ring", "rdma"],
@@ -130,7 +133,8 @@ def main(argv=None) -> int:
         seed=args.seed, energy_check=args.energy_check,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, autotune=args.autotune,
-        fused=args.fused, precision=args.precision,
+        fused=args.fused, interpret=args.interpret,
+        precision=args.precision,
         shards=args.shards, comm=args.comm,
         platform=args.platform or ("cpu" if args.device == "cpu" else None),
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,

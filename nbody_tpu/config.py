@@ -29,6 +29,8 @@ class SimConfig:
     tile_j: int = 0
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     fused: bool = False  # whole sample block in one VMEM-resident kernel
+    interpret: bool = False  # run Pallas kernels in interpreter mode
+    # (debug / CPU execution of the pallas paths)
     precision: str = "f32"  # f32 | bf16 | ref64 (bit-exact host oracle)
 
     # Parallelism (the USE_MPI axis, as GSPMD sharding).
@@ -70,12 +72,17 @@ class SimConfig:
             )
 
     def kernel_opts(self) -> dict:
+        from .ops.registry import resolve
+
+        resolved = resolve(self.kernel)
         opts = {}
-        if self.kernel in ("pallas", "pallas_mxu", "auto"):
+        if resolved in ("pallas", "pallas_mxu"):
             if self.tile_i:
                 opts["tile_i"] = self.tile_i
             if self.tile_j:
                 opts["tile_j"] = self.tile_j
+            if self.interpret:
+                opts["interpret"] = True
         if self.precision == "bf16":
             opts["dist_dtype"] = "bfloat16"
         return opts

@@ -153,7 +153,7 @@ class _DeviceRunner(_BlockRunner):
                 steps,
                 lambda: make_fused_block_fn(
                     cfg.dt, steps, tile_i=cfg.tile_i, tile_j=cfg.tile_j,
-                    integrator=cfg.integrator,
+                    integrator=cfg.integrator, interpret=cfg.interpret,
                 ),
             )
         else:

@@ -58,12 +58,15 @@ def test_thread_dims_map_to_tiles():
     # select Pallas tile sizes here.
     from nbody_tpu.config import SimConfig
 
-    cfg = SimConfig(tile_i=128, tile_j=256)
+    cfg = SimConfig(kernel="pallas", tile_i=128, tile_j=256)
     assert cfg.kernel_opts()["tile_i"] == 128
     assert cfg.kernel_opts()["tile_j"] == 256
     # tiles reach every pallas-family kernel, incl. the MXU experiment
     cfg = SimConfig(kernel="pallas_mxu", tile_i=128)
     assert cfg.kernel_opts()["tile_i"] == 128
+    # but not the naive kernel (no such options there)
+    cfg = SimConfig(kernel="naive", tile_i=128)
+    assert "tile_i" not in cfg.kernel_opts()
 
 
 def test_mxu_rejects_bf16():

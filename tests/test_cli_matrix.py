@@ -42,6 +42,12 @@ MATRIX = [
      "--precision", "bf16"],
     ["64", "50", "--kernel", "naive", "--shards", "4", "--comm", "allgather",
      "--energy-check"],
+    ["128", "50", "--kernel", "pallas", "--interpret",
+     "--tile-i", "64", "--tile-j", "128"],
+    ["128", "50", "--fused", "--interpret", "--tile-i", "64",
+     "--tile-j", "128"],
+    ["64", "50", "--kernel", "pallas", "--interpret", "--tile-i", "16",
+     "--tile-j", "32", "--shards", "8", "--comm", "rdma"],
 ]
 
 
