@@ -370,11 +370,16 @@ class Simulation:
     def set_number_of_steps(self, nsteps: int) -> None:
         self.config.nsteps = nsteps
 
-    # ver5_all extensions (ver5_all/GSimulation.hpp:51-58).  Device counts
-    # and CPU/GPU work ratios are meaningless on a homogeneous TPU mesh;
-    # thread dims map onto kernel tile sizes.
+    # ver5_all extensions (ver5_all/GSimulation.hpp:51-58).  CPU/GPU work
+    # ratios are meaningless on a homogeneous TPU mesh; thread dims map
+    # onto kernel tile sizes; the device selector keeps its reference
+    # semantics (1=cpu, 2=gpu-class accelerator, 3=split -> accelerator).
     def set_devices(self, n: int) -> None:
         self._devices = n
+        if n == 1:
+            self.config.platform = "cpu"
+        elif n in (2, 3):
+            self.config.platform = None
 
     def set_cpu_ratio(self, ratio: float) -> None:
         self._cpu_ratio = ratio
