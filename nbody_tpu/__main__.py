@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-device tile-size sweep before the run")
     p.add_argument("--fused", action="store_true",
                    help="run each sample block as ONE VMEM-resident kernel "
-                        "(f32/single-device, N<=4096)")
+                        "(f32/single-device, N<=8192)")
     p.add_argument("--interpret", action="store_true",
                    help="run Pallas kernels in interpreter mode (debug / "
                         "exercise the pallas paths on CPU)")

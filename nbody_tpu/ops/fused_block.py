@@ -33,9 +33,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import G_NEWTON, SOFTENING_SQUARED
 
-MAX_FUSED_N = 4096
-DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 2048
+MAX_FUSED_N = 8192
+# Tile defaults adapt to N: the lane-padded (N,8) state buffers cost
+# N*512 bytes each (x3 resident), so larger systems get smaller pair
+# tiles to stay inside VMEM.
+DEFAULT_TILE_I = 0  # 0 = auto
+DEFAULT_TILE_J = 0
+
+
+def _auto_tiles(n: int) -> tuple[int, int]:
+    if n <= 4096:
+        return 256, 2048
+    return 128, 1024
 
 
 def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
@@ -54,16 +63,19 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
     acc_s[...] = jnp.zeros_like(acc_s)
 
     def sweep():
-        """One i x j pair sweep of the current positions into acc_s."""
-        for it in range(ni):
+        """One i x j pair sweep of the current positions into acc_s.
+        fori_loops with dynamic slices keep the compiled program size
+        independent of N (python unrolling blows up Mosaic compile time
+        beyond ~100 tile blocks)."""
+
+        def i_body(it, _):
             sl = pl.ds(it * tile_i, tile_i)
             xi = p_cols_out[sl, 0:1]  # (TI, 1)
             yi = p_cols_out[sl, 1:2]
             zi = p_cols_out[sl, 2:3]
-            ax = jnp.zeros((tile_i, 1), f32)
-            ay = jnp.zeros((tile_i, 1), f32)
-            az = jnp.zeros((tile_i, 1), f32)
-            for jt in range(nj):
+
+            def j_body(jt, acc):
+                ax, ay, az = acc
                 js = pl.ds(jt * tile_j, tile_j)
                 xj = rows_s[0:1, js]  # (1, TJ)
                 yj = rows_s[1:2, js]
@@ -78,9 +90,16 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
                 ax += jnp.sum(w * dx, axis=1, keepdims=True)
                 ay += jnp.sum(w * dy, axis=1, keepdims=True)
                 az += jnp.sum(w * dz, axis=1, keepdims=True)
+                return (ax, ay, az)
+
+            zero = jnp.zeros((tile_i, 1), f32)
+            ax, ay, az = jax.lax.fori_loop(0, nj, j_body, (zero, zero, zero))
             acc_s[sl, 0:1] = ax
             acc_s[sl, 1:2] = ay
             acc_s[sl, 2:3] = az
+            return _
+
+        jax.lax.fori_loop(0, ni, i_body, 0)
 
     def move(v):
         """Drift positions by v*dt in both layouts."""
@@ -127,8 +146,9 @@ def fused_block(
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
     n = pos.shape[1]
-    ti = min(tile_i, n)
-    tj = min(tile_j, n)
+    auto_i, auto_j = _auto_tiles(n)
+    ti = min(tile_i or auto_i, n)
+    tj = min(tile_j or auto_j, n)
     if n % ti or n % tj:
         raise ValueError(f"N={n} must be divisible by tiles ({ti},{tj})")
     if n > MAX_FUSED_N:
