@@ -79,17 +79,21 @@ def _kernel(ps_ref, out_ref, comm_buf, jsrc_s, send_sem, recv_sem,
         pltpu.semaphore_wait(barrier, 2)
 
     def sweep(cur):
-        """Accumulate forces from the in-hand source block comm_buf[cur]."""
-        for jt in range(nj):
+        """Accumulate forces from the in-hand source block comm_buf[cur].
+        fori_loops with dynamic slices keep compiled size independent of
+        the local shard size."""
+
+        def j_body(jt, _):
             # one relayout per source tile, reused across all target tiles
             jsrc_s[...] = jnp.transpose(
-                comm_buf[cur][:, jt * tile_j : (jt + 1) * tile_j]
+                comm_buf[cur, :, pl.ds(jt * tile_j, tile_j)]
             )  # (TJ, 8)
             xj = jsrc_s[:, 0:1]  # (TJ, 1)
             yj = jsrc_s[:, 1:2]
             zj = jsrc_s[:, 2:3]
             gm = jsrc_s[:, 3:4]
-            for it in range(ni):
+
+            def i_body(it, __):
                 isl = pl.ds(it * tile_i, tile_i)
                 xi = ps_ref[0:1, isl]  # (1, TI) — targets stay in rows
                 yi = ps_ref[1:2, isl]
@@ -103,6 +107,12 @@ def _kernel(ps_ref, out_ref, comm_buf, jsrc_s, send_sem, recv_sem,
                 out_ref[0:1, isl] += jnp.sum(w * dx, axis=0, keepdims=True)
                 out_ref[1:2, isl] += jnp.sum(w * dy, axis=0, keepdims=True)
                 out_ref[2:3, isl] += jnp.sum(w * dz, axis=0, keepdims=True)
+                return __
+
+            lax.fori_loop(0, ni, i_body, 0)
+            return _
+
+        lax.fori_loop(0, nj, j_body, 0)
 
     for hop in range(num_shards):
         cur = hop % 2
