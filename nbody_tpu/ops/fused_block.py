@@ -44,7 +44,7 @@ DEFAULT_TILE_J = 0
 def _auto_tiles(n: int) -> tuple[int, int]:
     if n <= 4096:
         return 256, 2048
-    return 128, 1024
+    return 128, 2048
 
 
 def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
