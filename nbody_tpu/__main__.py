@@ -7,11 +7,15 @@ token is echoed to stdout, cpu_ratio is accepted for CLI parity, and the
 thread dims map onto kernel tile sizes).
 
 TPU-native options replace the reference's compile-time #define matrix:
-    --kernel {naive,pallas,auto}   force-kernel backend (ARCH= analog)
+    --kernel {naive,pallas,pallas_mxu,auto}  force-kernel backend (ARCH= analog)
     --precision {f32,bf16,ref64}   numeric mode (ref64 = bit-exact oracle)
-    --shards K --comm {allgather,ring}   GSPMD particle decomposition
-    --tile-i/--tile-j              Pallas tile sizes
-    --platform cpu                 pin to host backend
+    --integrator {euler,leapfrog}  parity default / symplectic option
+    --shards K --comm {allgather,ring,rdma}  GSPMD particle decomposition
+    --fused                        whole sample block in one VMEM kernel
+    --tile-i/--tile-j/--autotune   Pallas tile selection
+    --distribution/--seed          initial-condition families
+    --save-state/--load-state/--snapshot-*   checkpointing & trajectories
+    --platform cpu / --interpret   host execution of any path
     --profile-dir DIR              dump a jax.profiler trace
 """
 
