@@ -22,8 +22,14 @@ test-fast:
 bench:
 	$(PYTHON) bench.py
 
+bench-suite:
+	$(PYTHON) bench.py --suite
+
+check:
+	bash scripts/tpu_check.sh
+
 clean:
 	$(MAKE) -C native clean
 	rm -rf .pytest_cache $(shell find . -name __pycache__ -type d 2>/dev/null)
 
-.PHONY: all native run test test-fast bench clean
+.PHONY: all native run test test-fast bench bench-suite check clean

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="nbody_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
+    from . import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"nbody-tpu {__version__}")
     p.add_argument("n", nargs="?", type=int, default=2000)
     p.add_argument("nsteps", nargs="?", type=int, default=500)
     p.add_argument("device", nargs="?", default=None,
