@@ -127,6 +127,7 @@ class _DeviceRunner(_BlockRunner):
             cfg.tile_i, cfg.tile_j = autotune_tiles(
                 state.n_padded,
                 dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
+                interpret=cfg.interpret,
             )
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.shards > 1:

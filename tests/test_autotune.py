@@ -21,6 +21,23 @@ def test_autotune_picks_valid_candidate(tmp_path, monkeypatch):
     assert (ti2, tj2) == (ti, tj)
 
 
+def test_engine_autotune_wiring(tmp_path, monkeypatch):
+    # --autotune --interpret must tune and run on CPU (interpret reaches
+    # the tuner's candidate timing, not just the final kernel).
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    monkeypatch.setattr(autotune, "DEFAULT_CANDIDATES", ((64, 128), (128, 128)))
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=50, kernel="pallas", autotune=True,
+                    interpret=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 1
+    assert (cfg.tile_i, cfg.tile_j) in ((64, 128), (128, 128))
+
+
 def test_autotune_rejects_nondividing(tmp_path, monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
     autotune._memory_cache.clear()
