@@ -35,6 +35,24 @@ def main() -> int:
     ]
     fused_eligible = n <= 4096
 
+    def diff_time(blk):
+        """Per-step seconds via difference timing: run the block once and
+        twice, attribute the difference to one block (cancels the fixed
+        dispatch/fetch cost, which can reach ~40 ms on tunneled TPUs)."""
+        def t_of(k):
+            st = state
+            for _ in range(k):
+                st, ke = blk(st)
+            float(ke)
+            t0 = time.perf_counter()
+            st = state
+            for _ in range(k):
+                st, ke = blk(st)
+            float(ke)
+            return time.perf_counter() - t0
+
+        return max(t_of(2) - t_of(1), 1e-9) / steps
+
     state = make_state(n, pad_multiple=1024)
     print(f" N={n}, {steps} steps per rung, backend={jax.default_backend()}")
     print(f" {'rung':32s} {'time/step':>12s} {'GFlop/s':>10s} {'speedup':>8s}")
@@ -42,12 +60,7 @@ def main() -> int:
     for label, kernel, opts in rungs:
         try:
             blk = make_block_fn(make_accel_fn(kernel, **opts), 0.1, steps)
-            _, ke = blk(state)
-            float(ke)  # compile + run once
-            t0 = time.perf_counter()
-            _, ke = blk(state)
-            float(ke)
-            dt = (time.perf_counter() - t0) / steps
+            dt = diff_time(blk)
         except Exception as e:
             print(f" {label:32s} {'FAILED: ' + type(e).__name__:>12s}")
             continue
@@ -60,12 +73,7 @@ def main() -> int:
 
         try:
             blk = make_fused_block_fn(0.1, steps)
-            _, ke = blk(state)
-            float(ke)
-            t0 = time.perf_counter()
-            _, ke = blk(state)
-            float(ke)
-            dt = (time.perf_counter() - t0) / steps
+            dt = diff_time(blk)
             gf = step_gflops(n) / dt
             print(f" {'fused VMEM-resident block':32s} {dt * 1e3:>10.3f}ms "
                   f"{gf:>10.1f} {base / dt:>7.2f}x")
