@@ -132,9 +132,19 @@ def main(argv=None) -> int:
             pass
         return 0
     if args.platform == "cpu" or args.device == "cpu":
+        import os
+
         from .utils.platform import force_cpu
 
-        force_cpu(args.shards if args.shards > 1 else None)
+        # In a multi-process run each process hosts only its share of the
+        # virtual devices (the global mesh is assembled by jax.distributed).
+        nprocs = int(
+            os.environ.get("JAX_NUM_PROCESSES")
+            or os.environ.get("NBODY_NUM_PROCESSES")
+            or 1
+        )
+        local = max(1, args.shards // max(1, nprocs))
+        force_cpu(local if args.shards > 1 else None)
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
         integrator=args.integrator, distribution=args.distribution,
@@ -152,12 +162,16 @@ def main(argv=None) -> int:
         snapshot_every=args.snapshot_every, snapshot_dir=args.snapshot_dir,
     )
     sim = Simulation(cfg)
-    sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)
     if args.device is not None:
-        # The reference echoes the device token (ver5_all/main.cpp:42).
+        # The reference echoes the token then maps it onto the device
+        # selector (ver5_all/main.cpp:42-45: cpu=1, gpu=2, cpu+gpu=3).
         print(args.device)
+        selector = {"cpu": 1, "gpu": 2, "tpu": 2, "cpu+gpu": 3}.get(args.device)
+        if selector is not None:
+            sim.set_devices(selector)
     if args.cpu_ratio is not None:
         sim.set_cpu_ratio(args.cpu_ratio)
+    sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)
     result = sim.start()
     if args.json:
         import json

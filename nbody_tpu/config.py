@@ -64,6 +64,11 @@ class SimConfig:
             raise ValueError(f"sfreq must be >= 1, got {self.sfreq}")
         if self.shards < 1:
             raise ValueError(f"shards must be >= 1, got {self.shards}")
+        if self.fused and self.shards > 1:
+            raise ValueError(
+                "--fused is single-device (the whole block lives in one "
+                "chip's VMEM); it cannot be combined with --shards > 1"
+            )
         from .types import PRECISIONS
 
         if self.precision not in PRECISIONS:

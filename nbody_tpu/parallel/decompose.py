@@ -61,10 +61,23 @@ def shard_state(
             f"padded count {state.n_padded} not divisible by {shards} shards"
         )
     specs = state_specs()
+
+    def put(x, spec):
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # Multi-process mesh: device_put accepts only host (or
+            # uncommitted) data for non-addressable shardings.  State
+            # construction is deterministic, so every process holds the
+            # same full array — the replicated-input contract.
+            import numpy as np
+
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
     sharded = ParticleState(
-        pos=jax.device_put(state.pos, NamedSharding(mesh, specs.pos)),
-        vel=jax.device_put(state.vel, NamedSharding(mesh, specs.vel)),
-        mass=jax.device_put(state.mass, NamedSharding(mesh, specs.mass)),
+        pos=put(state.pos, specs.pos),
+        vel=put(state.vel, specs.vel),
+        mass=put(state.mass, specs.mass),
         n=state.n,
     )
     return sharded, mesh

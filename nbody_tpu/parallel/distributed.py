@@ -17,9 +17,26 @@ def init_distributed(
     process_id: Optional[int] = None,
 ) -> tuple[int, int]:
     """Initialize multi-host JAX (idempotent).  Returns (process_id,
-    process_count).  With no arguments, relies on the TPU environment's
-    automatic configuration (GKE/GCE metadata)."""
+    process_count).
+
+    Explicit arguments win; otherwise the JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID environment variables (what
+    scripts/pod_run.sh exports — the mpirun -n analog) are used; with
+    neither, jax's own cluster auto-detection handles TPU pods
+    (GKE/GCE metadata) and Slurm/OpenMPI launchers."""
+    import os
+
     import jax
+
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS") or env.get(
+            "COORDINATOR_ADDRESS"
+        )
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
 
     try:
         jax.distributed.initialize(

@@ -11,6 +11,11 @@ This kernel is the speed-of-light version (pallas_guide.md §18 pattern):
   over ICI; semaphores order the hand-off;
 * a neighbor barrier precedes the first send so no RDMA lands in an
   unentered kernel;
+* per-slot backpressure: a device may overwrite its right neighbor's
+  ring slot only after that neighbor signals (REGULAR semaphore) that it
+  has finished sweeping the block previously held there.  Without this
+  handshake a fast neighbor's hop-(h+1) remote copy could land in a slot
+  the local sweep of hop h is still reading (cross-device WAR race);
 * per hop, the pair sweep accumulates local-target accelerations in fp32
   (sublane-reduction orientation: targets stay in the rows layout, so the
   only relayouts are one (8,TJ)->(TJ,8) transpose per source tile per
@@ -48,7 +53,7 @@ DEFAULT_TILE_J = 1024
 
 
 def _kernel(ps_ref, out_ref, comm_buf, jsrc_s, send_sem, recv_sem,
-            *, num_shards, tile_i, tile_j, use_barrier):
+            free_sem, *, num_shards, tile_i, tile_j, use_barrier):
     nl = ps_ref.shape[1]
     ni = nl // tile_i
     nj = nl // tile_j
@@ -114,10 +119,20 @@ def _kernel(ps_ref, out_ref, comm_buf, jsrc_s, send_sem, recv_sem,
 
         lax.fori_loop(0, nj, j_body, 0)
 
+    # Slot-reuse backpressure only matters once a slot is overwritten
+    # while its first tenant could still be in use: hop h writes the
+    # right neighbor's slot (h+1)%2, which that neighbor last read as its
+    # hop-(h-1) sweep source.  Interpret mode serializes the emulated
+    # DMAs, so (like the entry barrier) the handshake is compiled-only.
+    handshake = num_shards > 2 and use_barrier
     for hop in range(num_shards):
         cur = hop % 2
         nxt = (hop + 1) % 2
         if hop < num_shards - 1:
+            if handshake and hop >= 1:
+                # WAR guard: the right neighbor must have finished its
+                # hop-(h-1) sweep of the slot we are about to overwrite.
+                pltpu.semaphore_wait(free_sem.at[nxt], 1)
             rdma = pltpu.make_async_remote_copy(
                 src_ref=comm_buf.at[cur],
                 dst_ref=comm_buf.at[nxt],
@@ -129,6 +144,13 @@ def _kernel(ps_ref, out_ref, comm_buf, jsrc_s, send_sem, recv_sem,
             rdma.start()   # streams to the neighbor while we compute
             sweep(cur)
             rdma.wait()    # our send done AND our incoming block arrived
+            if handshake and hop + 1 < num_shards - 1:
+                # Tell the left neighbor (the writer into our buffers)
+                # that our slot `cur` is free for its hop-(h+1) send.
+                pltpu.semaphore_signal(
+                    free_sem.at[cur], inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
         else:
             sweep(cur)
 
@@ -167,6 +189,7 @@ def ring_accelerations(
             pltpu.VMEM((tj, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR((2,)),  # per-slot 'free' handshake
         ],
         # collective_id is only legal alongside the custom barrier, which
         # a single-shard "ring" (no RDMA, no barrier) doesn't use.

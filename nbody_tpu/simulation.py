@@ -45,6 +45,7 @@ class RunResult:
     dev: float
     nthreads: int
     energy_drift: Optional[float] = None  # set when energy_check is on
+    start_step: int = 0  # non-zero when resumed from a checkpoint
 
     @property
     def kenergy_trace(self) -> List[Tuple[int, float]]:
@@ -61,6 +62,7 @@ class RunResult:
             gflops_dev=self.dev,
             nthreads=self.nthreads,
             energy_drift=self.energy_drift,
+            start_step=self.start_step,
         )
 
 
@@ -69,6 +71,10 @@ class _BlockRunner:
 
     def __init__(self, cfg: SimConfig):
         self.cfg = cfg
+        # Absolute step the run starts at (non-zero when resuming, so the
+        # printed step column and saved checkpoints stay on the absolute
+        # counter across chained resumes — checkpoint.py's contract).
+        self.start_step = 0
 
     def prepare(self) -> None:  # compile / allocate before the clock starts
         raise NotImplementedError
@@ -105,7 +111,9 @@ class _DeviceRunner(_BlockRunner):
         if cfg.load_state_path:
             from .utils.checkpoint import load_state
 
-            state, _ = load_state(cfg.load_state_path, cfg.pad_multiple())
+            state, self.start_step = load_state(
+                cfg.load_state_path, cfg.pad_multiple()
+            )
             cfg.n = state.n
         else:
             state = make_state(
@@ -114,7 +122,9 @@ class _DeviceRunner(_BlockRunner):
                 distribution=cfg.distribution,
                 seed=cfg.seed,
             )
-        if cfg.platform:
+        if cfg.platform and cfg.shards <= 1:
+            # Sharded runs place state themselves (shard_state); committing
+            # to one device first would block multi-process device_put.
             dev = jax.local_devices(backend=cfg.platform)[0]
             state = jax.device_put(state, dev)
         from .ops.registry import resolve
@@ -202,7 +212,7 @@ class _OracleRunner(_BlockRunner):
         if self.cfg.load_state_path:
             from .utils.checkpoint import load_state
 
-            state, _ = load_state(self.cfg.load_state_path)
+            state, self.start_step = load_state(self.cfg.load_state_path)
             self.pos = np.asarray(state.pos)
             self.vel = np.asarray(state.vel)
             self.mass = np.asarray(state.mass)
@@ -252,6 +262,9 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
     else:
         runner = _DeviceRunner(cfg)
     runner.prepare()
+    # Absolute step offset: 0 on fresh runs, the checkpoint's step counter
+    # on resume, so printed steps / saved checkpoints continue the counter.
+    step0 = runner.start_step
 
     e0 = runner.total_energy() if cfg.energy_check else None
 
@@ -281,9 +294,12 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
             nf += 1
             block_secs = b1 - b0
             block_gf = gflops * cfg.sfreq / block_secs
-            t_phys = float(np.float32(s) * np.float32(cfg.dt))
-            samples.append((s, t_phys, ke, block_secs, block_gf))
-            emit(reporting.stats_row(s, t_phys, ke, block_secs, block_gf), out)
+            t_phys = float(np.float32(step0 + s) * np.float32(cfg.dt))
+            samples.append((step0 + s, t_phys, ke, block_secs, block_gf))
+            emit(
+                reporting.stats_row(step0 + s, t_phys, ke, block_secs, block_gf),
+                out,
+            )
             if nf > 2:
                 av += block_gf
                 dev += block_gf * block_gf
@@ -292,7 +308,7 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
                 and cfg.save_state_path
                 and nf % cfg.checkpoint_every == 0
             ):
-                runner.save(cfg.save_state_path, s)
+                runner.save(cfg.save_state_path, step0 + s)
             if (
                 cfg.snapshot_every
                 and cfg.snapshot_dir
@@ -302,12 +318,13 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
 
                 os.makedirs(cfg.snapshot_dir, exist_ok=True)
                 runner.save(
-                    os.path.join(cfg.snapshot_dir, f"step_{s:06d}.npz"), s
+                    os.path.join(cfg.snapshot_dir, f"step_{step0 + s:06d}.npz"),
+                    step0 + s,
                 )
     t1 = timer.stop()
 
     if cfg.save_state_path:
-        runner.save(cfg.save_state_path, cfg.nsteps)
+        runner.save(cfg.save_state_path, step0 + cfg.nsteps)
 
     if profile_ctx:
         profile_ctx.__exit__(None, None, None)
@@ -321,7 +338,7 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
 
     nthreads = cfg.shards if cfg.shards > 1 else 1
     emit(reporting.footer(nthreads, total, av, dev), out)
-    result = RunResult(samples, total, av, dev, nthreads)
+    result = RunResult(samples, total, av, dev, nthreads, start_step=step0)
     if cfg.energy_check and e0 is not None:
         e1 = runner.total_energy()
         drift = abs(e1 - e0) / max(abs(e0), 1e-30)
@@ -340,9 +357,17 @@ class Simulation:
         self._quiet = quiet
         self.world_rank = 0  # ver5_all/GSimulation.hpp:60-61 equivalents
         self.world_size = 1
-        if not quiet and self.world_rank == 0:
-            reporting.print_banner()
+        # The banner is deferred until the rank is known (init_mpi) or the
+        # run starts: printing it here would emit it on every rank of a
+        # multi-process run, whereas the reference gates all output on
+        # world_rank == 0 (ver5_all/GSimulation.cpp:119).
+        self._banner_printed = False
         self.result: Optional[RunResult] = None
+
+    def _print_banner_once(self) -> None:
+        if not self._banner_printed and not self._quiet and self.world_rank == 0:
+            reporting.print_banner()
+        self._banner_printed = True
 
     def init_mpi(self) -> None:
         """Multi-host bootstrap — the reference's ``init_mpi()``
@@ -358,12 +383,14 @@ class Simulation:
             or os.environ.get("COORDINATOR_ADDRESS")
             or int(os.environ.get("NBODY_NUM_PROCESSES", "1")) > 1
         ):
+            self._print_banner_once()
             return
         from .parallel.distributed import init_distributed
 
         self.world_rank, self.world_size = init_distributed()
         if self.world_rank != 0:
             self._quiet = True
+        self._print_banner_once()
 
     def set_number_of_particles(self, n: int) -> None:
         self.config.n = n
@@ -383,7 +410,21 @@ class Simulation:
             self.config.platform = None
 
     def set_cpu_ratio(self, ratio: float) -> None:
+        """ver5_all CLI parity (main.cpp:49).  The OpenCL backend splits
+        each step's work between CPU and GPU by this ratio
+        (opencl/Compute.cpp:241-255); a TPU mesh is homogeneous, so there
+        is nothing to split — the value is recorded and a note is emitted
+        rather than the flag being silently inert."""
+        import sys
+
         self._cpu_ratio = ratio
+        if not self._quiet and self.world_rank == 0:
+            print(
+                f"# cpu_ratio={ratio:g} noted: TPU meshes are homogeneous; "
+                "work is split evenly across shards (no CPU/GPU "
+                "co-execution to tune)",
+                file=sys.stderr,
+            )
 
     def set_thread_dim0(self, d: int) -> None:
         if d > 0:
@@ -394,5 +435,6 @@ class Simulation:
             self.config.tile_j = d
 
     def start(self) -> RunResult:
+        self._print_banner_once()  # single-host path without init_mpi()
         self.result = run(self.config, quiet=self._quiet)
         return self.result

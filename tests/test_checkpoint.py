@@ -73,3 +73,26 @@ def test_resume_continues_trajectory(tmp_path):
     ke_full = full.kenergy_trace[-1][1]
     ke_resumed = resumed.kenergy_trace[-1][1]
     assert abs(ke_resumed - ke_full) <= 1e-5 * abs(ke_full)
+
+
+def test_resume_keeps_absolute_step_counter(tmp_path):
+    """A resumed run continues the checkpoint's absolute step counter in
+    the printed step column and in subsequent checkpoints (chained
+    resumes must not reset progress to 0)."""
+    path = str(tmp_path / "ck.npz")
+    run(
+        SimConfig(n=128, nsteps=100, kernel="naive", save_state_path=path),
+        quiet=True,
+    )
+    _, step = load_state(path)
+    assert step == 100
+    resumed = run(
+        SimConfig(n=128, nsteps=50, kernel="naive",
+                  load_state_path=path, save_state_path=path),
+        quiet=True,
+    )
+    assert resumed.start_step == 100
+    assert resumed.samples[0][0] == 150  # absolute, not relative
+    assert resumed.samples[0][1] == pytest.approx(150 * 0.1, rel=1e-5)
+    _, step2 = load_state(path)
+    assert step2 == 150

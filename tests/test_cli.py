@@ -79,3 +79,35 @@ def test_mxu_rejects_bf16():
     mass = np.ones(128, np.float32)
     with _pytest.raises(ValueError):
         pallas_mxu.accelerations(pos, mass, dist_dtype="bfloat16")
+
+
+def test_device_selector_semantics():
+    """ver5_all/main.cpp:43-45 selector parity: 1=cpu pins the host
+    backend, 2/3 select the accelerator."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import Simulation
+
+    sim = Simulation(SimConfig(), quiet=True)
+    sim.set_devices(1)
+    assert sim.config.platform == "cpu"
+    sim.set_devices(2)
+    assert sim.config.platform is None
+    sim.set_devices(3)
+    assert sim.config.platform is None
+
+
+def test_cpu_ratio_emits_note(capsys):
+    """cpu_ratio is accepted for CLI parity (ver5_all/main.cpp:49) but a
+    TPU mesh has no CPU/GPU split — the CLI says so instead of silently
+    ignoring the flag."""
+    rc, out = _run_cli(["128", "50", "gpu", "0.25", "--kernel", "naive"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "cpu_ratio=0.25" in err and "homogeneous" in err
+
+
+def test_fused_with_shards_rejected():
+    from nbody_tpu.config import SimConfig
+
+    with pytest.raises(ValueError, match="fused"):
+        SimConfig(fused=True, shards=2)

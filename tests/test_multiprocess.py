@@ -72,3 +72,28 @@ def test_two_process_ring_matches_single_device(tmp_path):
     blk = make_block_fn(make_accel_fn("naive"), 0.1, 5)
     _, ke_ref = blk(state)
     assert kes[0] == pytest.approx(float(ke_ref), rel=1e-5)
+
+
+@pytest.mark.slow
+def test_pod_launcher_rank_gating(tmp_path):
+    """scripts/pod_run.sh reproduces the hand-built 2-process mesh above
+    with one command, and only rank 0 emits the banner/table (reference
+    behavior: ver5_all/GSimulation.cpp:119 gates output on rank 0)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["NBODY_LOG_DIR"] = str(tmp_path)
+    res = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "pod_run.sh"), "2",
+         "512", "50", "--platform", "cpu", "--shards", "8",
+         "--kernel", "naive"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rank0 = (tmp_path / "rank0.out").read_text()
+    rank1 = (tmp_path / "rank1.out").read_text()
+    assert " Initialize Gravity Simulation" in rank0
+    assert any(l.startswith(" 50 ") for l in rank0.splitlines())
+    # rank 1 may leak transport-layer chatter (Gloo) but nothing of ours
+    own = [l for l in rank1.splitlines()
+           if l.strip() and not l.startswith("[Gloo]")]
+    assert own == [], own

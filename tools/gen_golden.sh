@@ -17,7 +17,7 @@ echo "building reference ver0 from $REF"
 g++ -O2 -std=c++11 -I"$REF/ver0" "$REF/ver0/main.cpp" "$REF/ver0/GSimulation.cpp" \
     -o "$WORK/nbody_ver0.x"
 
-for cfg in "256 100" "512 100" "2000 50" "2000 500"; do
+for cfg in "128 50" "256 100" "512 100" "1024 200" "2000 50" "2000 500"; do
     set -- $cfg
     echo "running ver0 N=$1 steps=$2"
     "$WORK/nbody_ver0.x" "$1" "$2" > "$OUT/ver0_n${1}_s${2}.txt"
