@@ -98,6 +98,42 @@ def _timed_steps(cfg, nsteps):
     return best
 
 
+def _fidelity(kernel: str) -> dict:
+    """The BASELINE.json fidelity gate, certified inside the headline
+    artifact: run the reference's default config (N=2000, 500 steps) and
+    compare the kenergy trace against the committed g++ ver0 golden
+    capture at full printed precision (%.5g strings)."""
+    import os
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run as sim_run
+    from nbody_tpu.utils.reporting import _g5, parse_trace
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "ver0_n2000_s500.txt",
+    )
+    try:
+        with open(golden_path) as f:
+            golden = parse_trace(f.read())
+    except OSError:
+        return {"trace_match": None}
+    res = sim_run(SimConfig(n=2000, nsteps=500, kernel=kernel), quiet=True)
+    ours = {s: ke for (s, _, ke, _, _) in res.samples}
+    match = bool(golden)
+    max_rel = 0.0
+    for s, ke_str in golden:
+        ke = ours.get(s)
+        if ke is None or _g5(ke) != ke_str:
+            match = False
+        if ke is not None and float(ke_str):
+            max_rel = max(max_rel, abs(ke - float(ke_str)) / abs(float(ke_str)))
+    return {
+        "trace_match": match,
+        "ke_max_rel_err_vs_ref": float(f"{max_rel:.2e}"),
+    }
+
+
 def main() -> int:
     import argparse
 
@@ -138,23 +174,24 @@ def main() -> int:
 
     value = step_gflops(args.n) * steps_per_sec
     pair_rate = pairs_per_step(args.n) * steps_per_sec
-    print(
-        json.dumps(
-            {
-                "metric": "sustained GFLOP/s (reference flop model, N=%d)"
-                % args.n,
-                "value": round(value, 2),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(value / REFERENCE_GFLOPS, 2),
-                "pair_interactions_per_sec": f"{pair_rate:.4g}",
-                "config": {
-                    "n": args.n,
-                    "nsteps": args.steps,
-                    "kernel": args.kernel,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "sustained GFLOP/s (reference flop model, N=%d)"
+        % args.n,
+        "value": round(value, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(value / REFERENCE_GFLOPS, 2),
+        "pair_interactions_per_sec": f"{pair_rate:.4g}",
+        "config": {
+            "n": args.n,
+            "nsteps": args.steps,
+            "kernel": args.kernel,
+        },
+    }
+    # Fidelity north-star (BASELINE.json metric triple): golden-trace
+    # agreement rides along so each BENCH_r* artifact certifies both the
+    # throughput and the correctness gate by itself.
+    payload.update(_fidelity(args.kernel))
+    print(json.dumps(payload))
     return 0
 
 

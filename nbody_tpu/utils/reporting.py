@@ -11,6 +11,7 @@ artifact, so the format is reproduced exactly — including the reference's
 from __future__ import annotations
 
 import math
+import re
 
 
 def _g5(v: float) -> str:
@@ -59,6 +60,22 @@ def footer(nthreads: int, total_time: float, av: float, dev: float) -> str:
         f"# Average Perfomance : {_g5(av)} +- {_g5(dev)}\n"
         + "=" * 31
     )
+
+
+_ROW_RE = re.compile(r"^ (\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s*$")
+
+
+def parse_trace(text: str) -> list:
+    """Inverse of ``stats_row`` for captured tables (ours or the C++
+    reference's): returns [(step, kenergy_string)].  The kenergy strings
+    are %.5g renderings — string comparison asserts agreement at full
+    printed precision (the golden-trace fidelity gate)."""
+    rows = []
+    for line in text.splitlines():
+        m = _ROW_RE.match(line)
+        if m:
+            rows.append((int(m.group(1)), m.group(3)))
+    return rows
 
 
 def emit(text: str, out=None) -> None:

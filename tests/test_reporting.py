@@ -67,3 +67,15 @@ def test_flops_model():
     # flops/step = 29 N^2 + 19 N (ver0/GSimulation.cpp:122)
     assert step_gflops(2000) == 1e-9 * (29 * 2000**2 + 19 * 2000)
     assert not math.isnan(step_gflops(1))
+
+
+def test_parse_trace_inverts_stats_row():
+    from nbody_tpu.utils.reporting import header, parse_trace, stats_row
+
+    text = "\n".join(
+        [header(2000, 500, 0.1),
+         stats_row(50, 5.0, 0.1432, 0.04, 134.4),
+         stats_row(100, 10.0, 2.4341, 0.03, 164.0),
+         "# Number Threads     : 1"]
+    )
+    assert parse_trace(text) == [(50, "0.1432"), (100, "2.4341")]
