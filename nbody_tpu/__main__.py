@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dim0", nargs="?", type=int, default=0)
     p.add_argument("dim1", nargs="?", type=int, default=0)
     p.add_argument("--kernel", default="auto",
-                   choices=["naive", "pallas", "pallas_mxu", "auto"])
+                   choices=["naive", "pallas", "pallas_sym", "pallas_mxu",
+                            "auto"])
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)

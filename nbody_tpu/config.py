@@ -81,7 +81,7 @@ class SimConfig:
 
         resolved = resolve(self.kernel)
         opts = {}
-        if resolved in ("pallas", "pallas_mxu"):
+        if resolved in ("pallas", "pallas_mxu", "pallas_sym"):
             if self.tile_i:
                 opts["tile_i"] = self.tile_i
             if self.tile_j:
@@ -101,6 +101,12 @@ class SimConfig:
 
         ti = self.tile_i or DEFAULT_TILE_I
         tj = self.tile_j or DEFAULT_TILE_J
-        if resolve(self.kernel) == "naive":
+        resolved = resolve(self.kernel)
+        if resolved == "naive":
             ti = tj = 1
+        elif resolved == "pallas_sym":
+            from .ops.pallas_sym import DEFAULT_BLOCK
+
+            ti = self.tile_i or DEFAULT_BLOCK  # square blocks; tj unused
+            tj = 1
         return math.lcm(ti, tj) * max(1, self.shards)

@@ -47,6 +47,13 @@ from ..types import G_NEWTON, SOFTENING_SQUARED
 DEFAULT_TILE_I = 512
 DEFAULT_TILE_J = 2048
 
+# A single kernel execution much longer than ~1 min can trip TPU-runtime
+# execution watchdogs (observed at N=4M unsharded).  Above this many
+# pairs the sweep is dispatched as several sequential pallas_calls over
+# target chunks — ~6 s each at the kernel's ~190 Gpairs/s — so arbitrary
+# N (BASELINE config 5: N=4M) runs on one chip.
+MAX_PAIRS_PER_CALL = 1 << 40
+
 
 def _nbody_kernel(psit_ref, psj_ref, out_ref, *, dist_dtype):
     j = pl.program_id(1)
@@ -112,12 +119,16 @@ def accelerations_between(
     tile_j: int = DEFAULT_TILE_J,
     dist_dtype: str = "float32",
     interpret: bool = False,
+    max_pairs_per_call: int = MAX_PAIRS_PER_CALL,
 ) -> jax.Array:
     """Accelerations of targets due to sources via the tiled Pallas kernel.
 
     pos_tgt (3, Nt), pos_src (3, Ns), mass_src (Ns,) -> (3, Nt) fp32.
     Nt/Ns must be divisible by tile_i/tile_j respectively (pad with
-    zero-mass particles; see state.pad_state).
+    zero-mass particles; see state.pad_state).  Sweeps above
+    ``max_pairs_per_call`` pairs are dispatched as several sequential
+    pallas_calls over target chunks (watchdog safety at N >= ~2M; pass 0
+    to force a single call).
     """
     nt = pos_tgt.shape[1]
     ns = pos_src.shape[1]
@@ -130,11 +141,34 @@ def accelerations_between(
     # Targets column-major (Nt, 8); sources row-major (8, Ns).
     ps_it = pack_particles(pos_tgt, jnp.zeros((nt,), jnp.float32)).T
     ps_j = pack_particles(pos_src, mass_src)
-
     ddt = jnp.dtype(dist_dtype)
+
+    limit = max_pairs_per_call or (nt * ns)
+    if nt * ns > limit and nt > ti:
+        # Watchdog-safe chunked dispatch: sequential pallas_calls over
+        # target chunks, each bounded in execution time.  Chunk sizes are
+        # tile-exact multiples, so results are bit-identical to the
+        # single-call sweep (same tiles, same accumulation order).
+        per = max(ti, limit // ns // ti * ti)
+        outs = [
+            _pair_sweep(ps_it[i0:i0 + min(per, nt - i0)], ps_j, ti, tj,
+                        ddt, interpret)
+            for i0 in range(0, nt, per)
+        ]
+        out = jnp.concatenate(outs, axis=0)
+    else:
+        out = _pair_sweep(ps_it, ps_j, ti, tj, ddt, interpret)
+    return out[:, 0:3].T
+
+
+def _pair_sweep(ps_it, ps_j, ti, tj, ddt, interpret):
+    """One pallas_call of the tiled sweep: (Nt,8) targets x (8,Ns)
+    sources -> (Nt,8) accelerations."""
+    nt = ps_it.shape[0]
+    ns = ps_j.shape[1]
     grid = (nt // ti, ns // tj)
     flops_per_pair = 20 if ddt == jnp.float32 else 23
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_nbody_kernel, dist_dtype=ddt),
         grid=grid,
         in_specs=[
@@ -155,7 +189,6 @@ def accelerations_between(
         ),
         interpret=interpret,
     )(ps_it, ps_j)
-    return out[:, 0:3].T
 
 
 def accelerations(pos: jax.Array, mass: jax.Array, **opts) -> jax.Array:

@@ -1,0 +1,154 @@
+"""Pair-symmetric Pallas force kernel: each unordered tile pair computed
+ONCE, accumulated into both tiles' outputs.
+
+The reference evaluates every ordered pair (i, j) — N^2 interactions per
+step (ver0/GSimulation.cpp:130-150).  Forces are exactly antisymmetric
+(F_ji = -F_ij: d2 and inv^3 are symmetric and the IEEE negation of dx is
+exact, diagonal exactly zero), so the upper triangle determines the lower
+one.  This kernel sweeps only tile pairs with jt >= it:
+
+* whole problem VMEM-resident — ONE (8, N) rows buffer in, ONE (8, N)
+  accumulator out — so HBM is touched once on entry and once on exit.
+  Everything stays in the rows layout: a fully-resident (N, 8) columns
+  buffer would be lane-padded 8 -> 128 by the hardware (16x VMEM waste,
+  the reason the first cut of this kernel stopped compiling at N=131072);
+  instead each i-tile is transposed to (B, 8) in a small scratch once and
+  reused across its whole row of j-tiles;
+* off-diagonal (B, B) blocks compute the shared geometry u = 1/d^3 once,
+  then form both mass-scaled reductions from the same u*dx products: the
+  i-side as a lane-axis sum (transposed into the accumulator's i slice),
+  the j-side as a sublane-axis sum subtracted from the j slice;
+* diagonal blocks contain both orderings of their intra-tile pairs, so
+  they use the plain one-sided sweep (self-interaction included: dx = 0
+  makes the term exactly zero — never mask the diagonal);
+
+Arithmetic per unordered pair: ~27 VPU ops + ONE rsqrt for TWO
+pair-interactions, vs ~20 ops + one rsqrt per single interaction in
+ops/pallas_kernel.py — a ~1.5x op-count reduction and exactly 2x fewer
+rsqrts.  Measured verdict: docs/DESIGN.md "Pair-symmetry kernel".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import SOFTENING_SQUARED
+from .pallas_kernel import accelerations_between, pack_particles
+
+DEFAULT_BLOCK = 1024
+# 12*N bytes of resident state + ~7 (B,B) fp32 pair intermediates must
+# fit VMEM (measured ceiling on v5e; beyond it use kernel='pallas').
+MAX_SYM_N = 262144
+
+
+def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks):
+    f32 = jnp.float32
+    eps2 = f32(SOFTENING_SQUARED)
+    B = block
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def it_body(it, _):
+        i0 = it * B
+        # One (8,B)->(B,8) relayout per i-tile, amortized over its whole
+        # row of j-tiles (the ring_kernel.py scratch pattern).
+        itile_s[...] = jnp.transpose(ps_rows[:, pl.ds(i0, B)])
+        xi = itile_s[:, 0:1]  # (B, 1) — broadcast across lanes
+        yi = itile_s[:, 1:2]
+        zi = itile_s[:, 2:3]
+        gmi = itile_s[:, 3:4]  # G*m of the i tile (the j-side scaling)
+
+        def pair_terms(j0):
+            xj = ps_rows[0:1, pl.ds(j0, B)]  # (1, B)
+            yj = ps_rows[1:2, pl.ds(j0, B)]
+            zj = ps_rows[2:3, pl.ds(j0, B)]
+            gmj = ps_rows[3:4, pl.ds(j0, B)]
+            dx = xj - xi  # (B, B)
+            dy = yj - yi
+            dz = zj - zi
+            d2 = dx * dx + dy * dy + dz * dz + eps2
+            inv = lax.rsqrt(d2)
+            u = inv * inv * inv  # shared symmetric geometry 1/d^3
+            return u * dx, u * dy, u * dz, gmj
+
+        # Diagonal tile: both orderings of its pairs are present, one-sided
+        # lane reduction covers them (ops/pallas_kernel.py orientation).
+        px, py, pz, gmj = pair_terms(i0)
+        ax = jnp.sum(gmj * px, axis=1, keepdims=True)  # (B, 1)
+        ay = jnp.sum(gmj * py, axis=1, keepdims=True)
+        az = jnp.sum(gmj * pz, axis=1, keepdims=True)
+
+        def jt_body(jt, acc):
+            ax, ay, az = acc
+            j0 = jt * B
+            px, py, pz, gmj = pair_terms(j0)
+            # i side: a_i += G*m_j * u * d   (lane-axis sum, carried)
+            ax += jnp.sum(gmj * px, axis=1, keepdims=True)
+            ay += jnp.sum(gmj * py, axis=1, keepdims=True)
+            az += jnp.sum(gmj * pz, axis=1, keepdims=True)
+            # j side: a_j -= G*m_i * u * d   (sublane-axis sum)
+            js = pl.ds(j0, B)
+            out_ref[0:1, js] -= jnp.sum(gmi * px, axis=0, keepdims=True)
+            out_ref[1:2, js] -= jnp.sum(gmi * py, axis=0, keepdims=True)
+            out_ref[2:3, js] -= jnp.sum(gmi * pz, axis=0, keepdims=True)
+            return (ax, ay, az)
+
+        ax, ay, az = lax.fori_loop(it + 1, nblocks, jt_body, (ax, ay, az))
+        isl = pl.ds(i0, B)
+        out_ref[0:1, isl] += jnp.transpose(ax)  # (B,1) -> (1,B)
+        out_ref[1:2, isl] += jnp.transpose(ay)
+        out_ref[2:3, isl] += jnp.transpose(az)
+        return _
+
+    lax.fori_loop(0, nblocks, it_body, 0)
+
+
+def accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    block: int = 0,
+    tile_i: int = 0,
+    tile_j: int = 0,  # accepted for registry-option uniformity; unused
+    dist_dtype: str = "float32",
+    interpret: bool = False,
+) -> jax.Array:
+    """All-pairs self-accelerations via the pair-symmetric sweep.
+    pos (3, N), mass (N,) -> (3, N) fp32.  N must be divisible by the
+    block size and <= MAX_SYM_N (everything is VMEM-resident)."""
+    del tile_j
+    if jnp.dtype(dist_dtype) != jnp.float32:
+        raise ValueError("pallas_sym is fp32-only (use kernel='pallas' "
+                         "for the bf16 distance mode)")
+    n = pos.shape[1]
+    b = min(block or tile_i or DEFAULT_BLOCK, n)
+    if n % b:
+        raise ValueError(f"N={n} must be divisible by block={b}")
+    if n > MAX_SYM_N:
+        raise ValueError(
+            f"pallas_sym holds the whole problem in VMEM; N={n} exceeds "
+            f"MAX_SYM_N={MAX_SYM_N} (use kernel='pallas')"
+        )
+    ps_rows = pack_particles(pos, mass)  # (8, N)
+    out = pl.pallas_call(
+        functools.partial(_sym_kernel, block=b, nblocks=n // b),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n * n,  # ~27 ops per unordered pair
+            bytes_accessed=n * 64,
+            transcendentals=n * n // 2,
+        ),
+        interpret=interpret,
+    )(ps_rows)
+    return out[0:3, :]

