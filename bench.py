@@ -31,6 +31,7 @@ SUITE = (
     ("single-chip-n16384", "f32", 16384, 500, False),
     ("bf16-n131072", "bf16", 131072, 100, False),
     ("n1m", "f32", 1048576, 4, False),
+    ("n4m", "f32", 4194304, 2, False),  # host-chunked executables
 )
 
 
@@ -68,6 +69,8 @@ def _timed_steps(cfg, nsteps):
         make_accel_fn,
         make_block_fn,
         make_fused_block_fn,
+        make_host_chunked_block_fn,
+        needs_host_chunking,
     )
 
     state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
@@ -83,6 +86,12 @@ def _timed_steps(cfg, nsteps):
         )
     elif getattr(cfg, "fused", False):
         blk = make_fused_block_fn(cfg.dt, nsteps)
+    elif needs_host_chunking(state.n_padded, nsteps):
+        blk = make_host_chunked_block_fn(
+            cfg.dt, nsteps, state.n_padded,
+            accel_fn=make_accel_fn(cfg.kernel, **cfg.kernel_opts()),
+            dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
+        )
     else:
         blk = make_block_fn(
             make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps

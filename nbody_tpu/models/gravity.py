@@ -78,6 +78,151 @@ def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
     return block
 
 
+# One XLA executable execution longer than ~1 min trips the TPU worker
+# watchdog (observed: a single N=4M force sweep, ~92 s, crashes the
+# worker even when split into chunked pallas_calls INSIDE one jit — the
+# watchdog meters the executable, not the kernel).  Above this
+# pairs-per-executable budget the sample block is orchestrated from the
+# host as many short executables with no host syncs between them.
+MAX_PAIRS_PER_EXEC = 1 << 40  # ~6 s at the kernel's ~190 Gpairs/s
+
+
+def needs_host_chunking(n_padded: int, block_steps: int) -> bool:
+    return n_padded * n_padded * block_steps > MAX_PAIRS_PER_EXEC
+
+
+def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
+                               accel_fn: AccelFn = None,
+                               tile_i: int = 0, tile_j: int = 0,
+                               integrator: str = "euler",
+                               max_pairs_per_exec: int = MAX_PAIRS_PER_EXEC,
+                               dist_dtype: str = "float32",
+                               interpret: bool = False):
+    """Watchdog-safe sample block for huge work (needs_host_chunking):
+    the block is orchestrated from the host as many short executables
+    with NO host syncs between them — the device stays busy back-to-back
+    and nothing is fetched until the caller reads the returned kinetic
+    energy.
+
+    Two regimes:
+    * one sweep fits the budget (N^2 <= max_pairs_per_exec, only the
+      step count is too big): one jitted executable PER STEP, using the
+      caller's ``accel_fn`` (i.e. the best kernel for the shape);
+    * a single sweep exceeds the budget (BASELINE config 5, N=4M): each
+      step's force sweep runs as K jitted executables over tile-aligned
+      target chunks of the streaming between-kernel (~6 s each), plus a
+      small integrate executable.  Bit-identical to the unchunked sweep
+      (same tiles, same accumulation order).
+
+    Same (state) -> (state, ke) contract as make_block_fn."""
+    import math
+
+    from jax import lax
+
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    dtf = jnp.float32(dt)
+    half = jnp.float32(0.5) * dtf
+
+    if n_padded * n_padded <= max_pairs_per_exec and accel_fn is not None:
+        # Per-step executables.
+        @jax.jit
+        def euler_one(pos, vel, mass):
+            acc = accel_fn(pos, mass)
+            v = vel + acc * dtf
+            return pos + v * dtf, v
+
+        @jax.jit
+        def lf_one(pos, vel, acc, mass):
+            v_h = vel + acc * half
+            p = pos + v_h * dtf
+            acc_n = accel_fn(p, mass)
+            return p, v_h + acc_n * half, acc_n
+
+        def block(state: ParticleState):
+            pos, vel, mass = state.pos, state.vel, state.mass
+            if integrator == "euler":
+                for _ in range(block_steps):
+                    pos, vel = euler_one(pos, vel, mass)
+            else:
+                acc = accel_fn(pos, mass)
+                for _ in range(block_steps):
+                    pos, vel, acc = lf_one(pos, vel, acc, mass)
+            new = ParticleState(pos=pos, vel=vel, mass=mass, n=state.n)
+            return new, kinetic_energy(new)
+
+        return block
+
+    from ..ops.pallas_kernel import (
+        DEFAULT_TILE_I,
+        DEFAULT_TILE_J,
+        accelerations_between,
+    )
+
+    ti = min(tile_i or DEFAULT_TILE_I, n_padded)
+    tj = min(tile_j or DEFAULT_TILE_J, n_padded)
+    nchunks = max(1, math.ceil(n_padded * n_padded / max_pairs_per_exec))
+    per = -(-n_padded // nchunks)  # ceil
+    per = max(ti, -(-per // ti) * ti)  # round up to a tile multiple
+    # Equal chunk shapes: the dynamic start index makes one compiled
+    # program serve every chunk; the tail start is clamped so the last
+    # chunk overlaps the previous one instead of changing shape (the
+    # overlap recomputes a few tile rows — cheaper than a second
+    # executable; overlapped rows are overwritten with identical values).
+    starts = sorted({min(s, n_padded - per)
+                     for s in range(0, n_padded, per)})
+
+    @jax.jit
+    def accel_chunk(pos, mass, i0):
+        tgt = lax.dynamic_slice(pos, (0, i0), (3, per))
+        return accelerations_between(
+            tgt, pos, mass, tile_i=ti, tile_j=tj, dist_dtype=dist_dtype,
+            interpret=interpret, max_pairs_per_call=0,
+        )
+
+    def sweep(pos, mass):
+        chunks = [accel_chunk(pos, mass, jnp.int32(i0)) for i0 in starts]
+        return assemble(pos, *chunks)
+
+    @jax.jit
+    def assemble(pos, *chunks):
+        acc = jnp.zeros_like(pos)
+        for i0, c in zip(starts, chunks):
+            acc = lax.dynamic_update_slice(acc, c, (0, i0))
+        return acc
+
+    @jax.jit
+    def euler_update(pos, vel, acc):
+        v = vel + acc * dtf
+        return pos + v * dtf, v
+
+    @jax.jit
+    def kick_drift(pos, vel, acc):
+        v_h = vel + acc * half
+        return pos + v_h * dtf, v_h
+
+    @jax.jit
+    def kick(vel, acc):
+        return vel + acc * half
+
+    def block(state: ParticleState):
+        pos, vel, mass = state.pos, state.vel, state.mass
+        if integrator == "euler":
+            for _ in range(block_steps):
+                acc = sweep(pos, mass)
+                pos, vel = euler_update(pos, vel, acc)
+        else:  # leapfrog KDK
+            acc = sweep(pos, mass)
+            for _ in range(block_steps):
+                pos, vel = kick_drift(pos, vel, acc)
+                acc = sweep(pos, mass)
+                vel = kick(vel, acc)
+        new = ParticleState(pos=pos, vel=vel, mass=mass, n=state.n)
+        return new, kinetic_energy(new)
+
+    return block
+
+
 def potential_energy(state: ParticleState, chunk: int = 1024) -> jax.Array:
     """Softened potential energy, consistent with the force law:
     PE = -(G/2) sum_i sum_j m_i m_j (|r_ij|^2 + eps)^(-1/2).
@@ -110,13 +255,16 @@ def potential_energy(state: ParticleState, chunk: int = 1024) -> jax.Array:
 
 
 def make_accel_fn(
-    kernel_name: str, differentiable: bool = False, **opts
+    kernel_name: str, differentiable: bool = False,
+    backward_opts: dict = None, **opts
 ) -> AccelFn:
     """Bind a registry kernel with its options into the AccelFn signature.
 
     ``differentiable=True`` attaches the analytic custom VJP (ops/grad.py),
     required to differentiate through the Pallas kernels and cheaper than
-    XLA autodiff for the naive one."""
+    XLA autodiff for the naive one.  ``backward_opts`` flow to the VJP
+    wrapper (backward mode, tiles — e.g. from
+    ``autotune_tiles(n, family='backward')``)."""
     from ..ops import registry
 
     fn = registry.get(kernel_name)
@@ -125,5 +273,5 @@ def make_accel_fn(
     if differentiable:
         from ..ops.grad import differentiable as _diff
 
-        fn = _diff(fn)
+        fn = _diff(fn, **(backward_opts or {}))
     return fn

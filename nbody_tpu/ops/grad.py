@@ -198,11 +198,14 @@ def force_vjp_pallas(
 
 
 def differentiable(accel_fn, chunk: int = 1024, backward: str = "auto",
-                   interpret: bool = False):
+                   interpret: bool = False, tile_i: int = 512,
+                   tile_j: int = 1024):
     """Wrap a (pos, mass) -> acc kernel with the analytic custom VJP.
 
     backward: 'jnp' (chunked sweep), 'pallas' (kernel), or 'auto'
-    (pallas on TPU, jnp elsewhere)."""
+    (pallas on TPU, jnp elsewhere).  tile_i/tile_j size the Pallas
+    backward's grid — tune with
+    ``utils.autotune.autotune_tiles(n, family='backward')``."""
 
     @jax.custom_vjp
     def accel(pos, mass):
@@ -217,7 +220,8 @@ def differentiable(accel_fn, chunk: int = 1024, backward: str = "auto",
         if mode == "auto":
             mode = "pallas" if jax.default_backend() == "tpu" else "jnp"
         if mode == "pallas":
-            return force_vjp_pallas(pos, mass, g, interpret=interpret)
+            return force_vjp_pallas(pos, mass, g, tile_i=tile_i,
+                                    tile_j=tile_j, interpret=interpret)
         return force_vjp(pos, mass, g, chunk=chunk)
 
     accel.defvjp(fwd, bwd)

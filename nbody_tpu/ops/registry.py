@@ -37,10 +37,24 @@ def available() -> tuple[str, ...]:
     return tuple(sorted(_REGISTRY)) + ("auto",)
 
 
-def resolve(name: str) -> str:
-    if name == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "naive"
-    return name
+def resolve(name: str, n: int = None, dist_dtype: str = "float32") -> str:
+    """Resolve ``auto`` to a concrete kernel name.  Without ``n`` this is
+    the coarse backend-level answer (the exact per-shape choice happens at
+    trace time in ``_auto_self``); with ``n`` (the padded particle count)
+    it also resolves the pallas/pallas_sym split, which autotuning needs."""
+    if name != "auto":
+        return name
+    if jax.default_backend() != "tpu":
+        return "naive"
+    import jax.numpy as jnp
+
+    if (
+        n is not None
+        and jnp.dtype(dist_dtype) == jnp.float32
+        and n <= pallas_sym.MAX_SYM_N
+    ):
+        return "pallas_sym"
+    return "pallas"
 
 
 def get(name: str) -> KernelFn:

@@ -129,17 +129,22 @@ class _DeviceRunner(_BlockRunner):
             state = jax.device_put(state, dev)
         from .ops.registry import resolve
 
-        if cfg.autotune and resolve(cfg.kernel) == "pallas" and not (
-            cfg.tile_i and cfg.tile_j
-        ):
-            from .utils.autotune import autotune_tiles
+        if cfg.autotune and not (cfg.tile_i and cfg.tile_j):
+            ddt = "bfloat16" if cfg.precision == "bf16" else "float32"
+            resolved = resolve(cfg.kernel, n=state.n_padded, dist_dtype=ddt)
+            if cfg.fused:
+                family = "fused"
+            else:
+                family = {"pallas": "forward",
+                          "pallas_sym": "forward_sym"}.get(resolved)
+            if family:
+                from .utils.autotune import autotune_tiles
 
-            cfg.tile_i, cfg.tile_j = autotune_tiles(
-                state.n_padded,
-                dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
-                interpret=cfg.interpret,
-            )
-            self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+                cfg.tile_i, cfg.tile_j = autotune_tiles(
+                    state.n_padded, dist_dtype=ddt, family=family,
+                    interpret=cfg.interpret,
+                )
+                self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.shards > 1:
             from .parallel.decompose import shard_state, make_sharded_block_fn
 
@@ -168,11 +173,31 @@ class _DeviceRunner(_BlockRunner):
                 ),
             )
         else:
-            self._block_for = lambda steps: self._cached(
-                steps,
-                lambda: make_block_fn(
+            from .models.gravity import (
+                make_host_chunked_block_fn,
+                needs_host_chunking,
+            )
+
+            def build(steps):
+                if needs_host_chunking(state.n_padded, steps):
+                    # Huge N: the single-executable block would trip the
+                    # runtime watchdog; orchestrate short executables from
+                    # the host (always the tiled between kernel).
+                    return make_host_chunked_block_fn(
+                        cfg.dt, steps, state.n_padded,
+                        accel_fn=self.accel_fn,
+                        tile_i=cfg.tile_i, tile_j=cfg.tile_j,
+                        integrator=cfg.integrator,
+                        dist_dtype="bfloat16" if cfg.precision == "bf16"
+                        else "float32",
+                        interpret=cfg.interpret,
+                    )
+                return make_block_fn(
                     self.accel_fn, cfg.dt, steps, integrator=cfg.integrator
-                ),
+                )
+
+            self._block_for = lambda steps: self._cached(
+                steps, lambda: build(steps)
             )
         self.state = state
         # Warm-up call (compiles and runs one block, result discarded) so

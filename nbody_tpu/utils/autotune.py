@@ -1,15 +1,26 @@
-"""Kernel tile autotuning.
+"""Kernel tile autotuning, covering every Pallas kernel family.
 
 The reference's only runtime tuner adjusts the OpenCL CPU/GPU work split by
 +0.01 per sample block (ver5_all/programming_models/opencl/Compute.cpp:
-317-321).  The TPU analog is tile-size selection for the Pallas kernel:
-on-device timing of candidate (tile_i, tile_j) pairs using difference-method
-timing (two loop lengths, attributing the difference to the extra steps) so
-fixed dispatch/fetch costs cancel.
+317-321).  The TPU analog is tile-size selection, done as an on-device
+pre-run sweep with difference-method timing (two loop lengths, attributing
+the difference to the extra iterations) so fixed dispatch/fetch costs
+cancel.
 
-Results are cached in-process and optionally on disk
-(~/.cache/nbody_tpu/autotune.json) keyed by (backend, device kind, padded N,
-dtype mode).
+Families:
+
+* ``forward``     — the streaming tiled kernel (ops/pallas_kernel.py),
+                    candidates are (tile_i, tile_j)
+* ``forward_sym`` — the pair-symmetric kernel (ops/pallas_sym.py),
+                    candidates are (block, block)
+* ``backward``    — the analytic-VJP kernel (ops/grad.force_vjp_pallas)
+* ``fused``       — the VMEM-resident sample-block kernel
+                    (ops/fused_block.py), timed over short blocks
+
+Results are cached in-process and on disk
+(~/.cache/nbody_tpu/autotune.json) keyed by (backend, device kind, family,
+padded N, dtype mode) — per-N entries, so each problem size gets its own
+tiles.
 """
 
 from __future__ import annotations
@@ -21,10 +32,20 @@ from typing import Iterable, Optional, Tuple
 
 import numpy as np
 
-DEFAULT_CANDIDATES: tuple[Tuple[int, int], ...] = (
-    (512, 2048), (512, 1024), (256, 2048), (1024, 1024), (512, 512),
-    (256, 1024),
-)
+DEFAULT_CANDIDATES: dict[str, tuple[Tuple[int, int], ...]] = {
+    "forward": (
+        (512, 2048), (512, 1024), (256, 2048), (1024, 1024), (512, 512),
+        (256, 1024),
+    ),
+    "forward_sym": ((1024, 1024), (512, 512), (256, 256), (2048, 2048)),
+    "backward": (
+        (512, 1024), (512, 512), (256, 1024), (256, 2048), (1024, 512),
+        (512, 2048),
+    ),
+    "fused": ((256, 2048), (128, 2048), (256, 1024), (512, 1024),
+              (128, 1024), (64, 2048)),
+}
+FAMILIES = tuple(DEFAULT_CANDIDATES)
 
 _memory_cache: dict = {}
 
@@ -52,16 +73,27 @@ def _save_disk_cache(cache: dict) -> None:
         pass  # caching is best-effort
 
 
-def _cache_key(n_padded: int, dist_dtype: str) -> str:
+def _cache_key(n_padded: int, dist_dtype: str, family: str) -> str:
     import jax
 
     dev = jax.devices()[0]
-    return f"{jax.default_backend()}|{dev.device_kind}|{n_padded}|{dist_dtype}"
+    fam = "" if family == "forward" else f"{family}|"
+    return (
+        f"{jax.default_backend()}|{dev.device_kind}|{fam}{n_padded}|{dist_dtype}"
+    )
 
 
-def _time_loop(pos, mass, ti: int, tj: int, loops: int, dist_dtype: str,
-               interpret: bool) -> Optional[float]:
-    """Seconds per force evaluation in a jitted loop, or None on failure."""
+def _diff_time(run, loops: int) -> Optional[float]:
+    """Difference-timed seconds per iteration, or None on failure."""
+    try:
+        t1 = run(loops)
+        t2 = run(2 * loops)
+    except Exception:
+        return None
+    return max(t2 - t1, 1e-9) / loops
+
+
+def _time_forward(pos, mass, ti, tj, loops, dist_dtype, interpret):
     import jax
 
     from ..ops.pallas_kernel import accelerations
@@ -73,6 +105,64 @@ def _time_loop(pos, mass, ti: int, tj: int, loops: int, dist_dtype: str,
         )
         return p + np.float32(1e-30) * acc
 
+    return _diff_time(_loop_runner(body, pos), loops)
+
+
+def _time_forward_sym(pos, mass, ti, tj, loops, dist_dtype, interpret):
+    from ..ops.pallas_sym import accelerations
+
+    if dist_dtype != "float32":
+        return None  # sym is fp32-only
+
+    def body(_, p):
+        acc = accelerations(p, mass, block=ti, interpret=interpret)
+        return p + np.float32(1e-30) * acc
+
+    return _diff_time(_loop_runner(body, pos), loops)
+
+
+def _time_backward(pos, mass, ti, tj, loops, dist_dtype, interpret):
+    from ..ops.grad import force_vjp_pallas
+
+    def body(_, p):
+        d_pos, _ = force_vjp_pallas(
+            p, mass, p, tile_i=ti, tile_j=tj, interpret=interpret
+        )
+        return p + np.float32(1e-30) * d_pos
+
+    return _diff_time(_loop_runner(body, pos), loops)
+
+
+def _time_fused(pos, mass, ti, tj, loops, dist_dtype, interpret):
+    import jax
+
+    from ..ops.fused_block import MAX_FUSED_N, fused_block
+
+    n = pos.shape[1]
+    if n > MAX_FUSED_N:
+        return None
+    vel = np.zeros_like(pos)
+
+    def run(k):
+        f = jax.jit(
+            lambda p, v: fused_block(
+                p, v, mass, 0.1, k, tile_i=ti, tile_j=tj,
+                interpret=interpret,
+            )
+        )
+        out_p, out_v = f(pos, vel)
+        float(out_p[0, 0])  # sync via fetch
+        t0 = time.perf_counter()
+        out_p, out_v = f(pos, vel)
+        float(out_p[0, 0])
+        return time.perf_counter() - t0
+
+    return _diff_time(run, max(loops, 2))
+
+
+def _loop_runner(body, pos):
+    import jax
+
     def run(k):
         f = jax.jit(lambda p: jax.lax.fori_loop(0, k, body, p))
         out = f(pos)
@@ -82,25 +172,33 @@ def _time_loop(pos, mass, ti: int, tj: int, loops: int, dist_dtype: str,
         float(out[0, 0])
         return time.perf_counter() - t0
 
-    try:
-        t1 = run(loops)
-        t2 = run(2 * loops)
-    except Exception:
-        return None
-    return max(t2 - t1, 1e-9) / loops
+    return run
+
+
+_TIMERS = {
+    "forward": _time_forward,
+    "forward_sym": _time_forward_sym,
+    "backward": _time_backward,
+    "fused": _time_fused,
+}
 
 
 def autotune_tiles(
     n_padded: int,
     dist_dtype: str = "float32",
-    candidates: Iterable[Tuple[int, int]] = DEFAULT_CANDIDATES,
+    family: str = "forward",
+    candidates: Optional[Iterable[Tuple[int, int]]] = None,
     loops: int = 5,
     interpret: bool = False,
     use_disk_cache: bool = True,
     verbose: bool = False,
 ) -> Tuple[int, int]:
-    """Pick the fastest (tile_i, tile_j) for this device and problem size."""
-    key = _cache_key(n_padded, dist_dtype)
+    """Pick the fastest (tile_i, tile_j) for this device, problem size and
+    kernel family (for ``forward_sym`` the block size is returned in both
+    slots)."""
+    if family not in _TIMERS:
+        raise ValueError(f"unknown family {family!r}; options: {FAMILIES}")
+    key = _cache_key(n_padded, dist_dtype, family)
     if key in _memory_cache:
         return tuple(_memory_cache[key])
     disk = _load_disk_cache() if use_disk_cache else {}
@@ -120,24 +218,27 @@ def autotune_tiles(
 
     valid = [
         (ti, tj)
-        for ti, tj in candidates
+        for ti, tj in (candidates or DEFAULT_CANDIDATES[family])
         if n_padded % ti == 0 and n_padded % tj == 0
     ] or [(
         _largest_divisor_leq(n_padded, 512),
         _largest_divisor_leq(n_padded, 128),
     )]
 
+    timer = _TIMERS[family]
     best, best_t = None, float("inf")
     for ti, tj in valid:
-        t = _time_loop(pos, mass, ti, tj, loops, dist_dtype, interpret)
+        t = timer(pos, mass, ti, tj, loops, dist_dtype, interpret)
         if verbose:
             rate = n_padded * n_padded / t / 1e9 if t else float("nan")
-            print(f"  autotune ({ti},{tj}): "
+            print(f"  autotune[{family}] ({ti},{tj}): "
                   + (f"{rate:.1f} Gpairs/s" if t else "failed"))
         if t is not None and t < best_t:
             best, best_t = (ti, tj), t
     if best is None:
-        raise RuntimeError("autotune: every candidate tile failed to compile")
+        raise RuntimeError(
+            f"autotune[{family}]: every candidate tile failed to compile"
+        )
 
     _memory_cache[key] = list(best)
     if use_disk_cache:

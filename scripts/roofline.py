@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Hardware roofline evidence for the force kernels (docs/DESIGN.md).
+
+Measures, on the attached TPU chip:
+
+1. the empirical VPU fp32 elementwise ceiling — a VMEM-resident Pallas
+   kernel chaining multiply-adds over a (512, 2048) tile (pure VPU work,
+   zero memory traffic after load; element-level parallelism keeps the
+   pipeline full, so this is a throughput measurement, not latency);
+2. the rsqrt throughput the same way (the kernel's one transcendental);
+3. the production pair-kernel rates (streaming + pair-symmetric), with
+   repeat spread;
+4. derived utilization: kernel VPU-ops/s vs the measured ceiling, plus
+   the implied per-pair op budget check.
+
+All timings are in-loop difference-method (see docs/DESIGN.md
+methodology).  Run: python scripts/roofline.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def _diff_time(run, loops):
+    t1, t2 = run(loops), run(2 * loops)
+    return max(t2 - t1, 1e-9) / loops
+
+
+def measure_vpu_ceiling(op: str, reps: int = 3):
+    """Seconds per (512,2048)-tile op chain iteration; returns ops/s for
+    fp32 elementwise `op` ('fma' = mul+add counted as 2 flops,
+    'rsqrt' = one transcendental)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = (512, 2048)
+    elems = shape[0] * shape[1]
+
+    def kernel(x_ref, o_ref, *, iters):
+        x = x_ref[...]
+
+        def body(_, acc):
+            if op == "fma":
+                return acc * x + x
+            return lax.rsqrt(acc) + x  # rsqrt + add per element
+
+        o_ref[...] = lax.fori_loop(0, iters, body, x)
+
+    def run_iters(iters):
+        f = jax.jit(
+            lambda x: pl.pallas_call(
+                functools.partial(kernel, iters=iters),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            )(x)
+        )
+        out = f(x)
+        float(out[0, 0])
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(x)
+            float(out[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    x = jax.numpy.full(shape, 0.5, jax.numpy.float32)
+    base = 2000
+    sec_per_iter = _diff_time(run_iters, base)
+    per_elem_ops = 2 if op == "fma" else 1  # fma = mul+add
+    return elems * per_elem_ops / sec_per_iter
+
+
+def measure_kernel(kind: str, n: int, loops: int, reps: int = 3, **opts):
+    import jax
+
+    from nbody_tpu.ops import pallas_kernel, pallas_sym
+
+    fn = dict(
+        pallas=pallas_kernel.accelerations, sym=pallas_sym.accelerations
+    )[kind]
+
+    rng = np.random.default_rng(0)
+    pos = jax.numpy.asarray(rng.random((3, n)), jax.numpy.float32)
+    mass = jax.numpy.asarray(rng.random(n), jax.numpy.float32)
+
+    def body(_, p):
+        return p + np.float32(1e-30) * fn(p, mass, **opts)
+
+    def run(k):
+        f = jax.jit(lambda p: jax.lax.fori_loop(0, k, body, p))
+        out = f(pos)
+        float(out[0, 0])
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(pos)
+            float(out[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return n * n / _diff_time(run, loops)  # pairs/s
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--trials", type=int, default=3,
+                   help="independent difference-timing trials (spread)")
+    args = p.parse_args()
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}")
+
+    # Issue-slot accounting: the fma chain measures elementwise issue
+    # slots/s (1 slot per element-FMA); the rsqrt chain is 1 rsqrt + 1
+    # add per element, so its per-element time minus one fma slot is the
+    # rsqrt's slot cost.
+    fma_slots = measure_vpu_ceiling("fma") / 2  # slots/s (fma = 2 flops)
+    rsq_chain = measure_vpu_ceiling("rsqrt")  # "2 ops"/elem accounting
+    rsq_elem_per_s = rsq_chain / 2  # elements/s through (rsqrt + add)
+    rsqrt_cost = fma_slots / rsq_elem_per_s - 1.0  # in fma slots
+    print(f"VPU fp32 elementwise ceiling : {fma_slots/1e12:.3f} Gslots/s*1e3 "
+          f"({2*fma_slots/1e12:.2f} TFLOP/s counting fma=2)")
+    print(f"rsqrt slot cost              : {rsqrt_cost:.2f} fma slots")
+
+    # Instruction budgets counted from the kernel bodies (element-ops per
+    # pair-interaction; subtractions/multiplies/adds 1 slot each, fused
+    # multiply-adds 1):
+    #   pallas: 3 deltas + 4 (d2 with fmas + eps) + 2 (inv^3) + 1 (gm*u)
+    #           + 3 (w*d) + 3 reduce-adds = 16 + 1 rsqrt
+    #   sym (per unordered pair = 2 interactions): 3 + 4 + 2 + 3 (u*d)
+    #           + 6 (two mass scalings) + 6 (two reductions) = 24 + 1 rsqrt
+    BUDGET = {"pallas": (16.0, 1.0), "sym": (12.0, 0.5)}
+
+    sizes = [(16384, 30), (131072, 3)] if args.quick else [
+        (16384, 30), (65536, 6), (131072, 3), (262144, 2)]
+    for n, loops in sizes:
+        for kind, opts in (("pallas", {}), ("sym", dict(block=1024))):
+            rates = [measure_kernel(kind, n, loops, **opts)
+                     for _ in range(args.trials)]
+            med = float(np.median(rates))
+            spread = (max(rates) - min(rates)) / med * 100
+            arith, rs = BUDGET[kind]
+            slots_per_pair = arith + rs * rsqrt_cost
+            util = med * slots_per_pair / fma_slots
+            print(
+                f"{kind:7s} N={n:7d}: {med/1e9:7.1f} Gpairs/s "
+                f"(spread {spread:4.1f}%)  {slots_per_pair:.1f} slots/pair "
+                f"-> VPU issue-slot utilization {util*100:5.1f}%"
+            )
+
+
+if __name__ == "__main__":
+    main()

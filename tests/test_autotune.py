@@ -48,3 +48,78 @@ def test_autotune_rejects_nondividing(tmp_path, monkeypatch):
         200, candidates=[(128, 128)], loops=1, interpret=True
     )
     assert 200 % ti == 0 and 200 % tj == 0
+
+
+def test_autotune_families(tmp_path, monkeypatch):
+    """Every kernel family tunes, picks a valid candidate, and caches per
+    (family, N) — VERDICT item: --autotune covers forward, backward and
+    fused (plus the sym forward)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    for family, cands in [
+        ("forward", [(64, 128)]),
+        ("forward_sym", [(64, 64), (128, 128)]),
+        ("backward", [(64, 128)]),
+        ("fused", [(64, 128)]),
+    ]:
+        ti, tj = autotune.autotune_tiles(
+            256, family=family, candidates=cands, loops=1, interpret=True
+        )
+        assert 256 % ti == 0 and 256 % tj == 0, (family, ti, tj)
+    import json
+    import os
+
+    with open(os.path.join(str(tmp_path), "nbody_tpu", "autotune.json")) as f:
+        cache = json.load(f)
+    assert sum("backward|" in k for k in cache) == 1
+    assert sum("fused|" in k for k in cache) == 1
+    assert sum("forward_sym|" in k for k in cache) == 1
+
+
+def test_engine_autotune_fused_and_sym_wiring(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=50, fused=True, autotune=True,
+                    interpret=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 1
+    assert cfg.tile_i and cfg.tile_j  # fused-family tiles chosen
+
+    autotune._memory_cache.clear()
+    cfg = SimConfig(n=128, nsteps=50, kernel="pallas_sym", autotune=True,
+                    interpret=True)
+    result = run(cfg, quiet=True)
+    assert cfg.tile_i and 1024 % cfg.tile_i == 0  # sym block chosen
+
+
+def test_differentiable_backward_tiles():
+    """Tuned backward tiles flow through make_accel_fn(backward_opts=...)."""
+    import jax
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import make_accel_fn
+
+    state = make_state(256, pad_multiple=128)
+    fn = make_accel_fn(
+        "pallas", tile_i=128, tile_j=128, interpret=True,
+        differentiable=True,
+        backward_opts=dict(backward="pallas", tile_i=64, tile_j=128,
+                           interpret=True),
+    )
+    ref_fn = make_accel_fn("naive", differentiable=True,
+                           backward_opts=dict(backward="jnp"))
+
+    def loss(fn):
+        def f(pos):
+            acc = fn(pos, state.mass)
+            return (acc * acc).sum()
+        return jax.grad(f)(state.pos)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(fn)), np.asarray(loss(ref_fn)), rtol=2e-4, atol=1e-9
+    )

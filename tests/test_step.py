@@ -108,3 +108,46 @@ def test_sym_kernel_trace_matches_reference(golden_dir):
     for (s_g, ke_g), (s, ke) in zip(golden, result.kenergy_trace):
         assert s == s_g
         assert f"{ke:.5g}" == ke_g, (s, ke, ke_g)
+
+
+def test_host_chunked_block_matches_block_fn():
+    """The watchdog-safe host-orchestrated block (both regimes: per-step
+    executables and chunked sweeps) must reproduce the single-executable
+    block bit-for-bit."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import (
+        make_accel_fn,
+        make_block_fn,
+        make_host_chunked_block_fn,
+    )
+
+    state = make_state(512, pad_multiple=128)
+    accel = make_accel_fn("naive")
+    for integ in ("euler", "leapfrog"):
+        ref_state, ref_ke = make_block_fn(accel, 0.1, 5, integrator=integ)(
+            state
+        )
+        # regime 1: per-step executables with the same kernel
+        s1, ke1 = make_host_chunked_block_fn(
+            0.1, 5, state.n_padded, accel_fn=accel, integrator=integ
+        )(state)
+        np.testing.assert_array_equal(
+            np.asarray(s1.pos), np.asarray(ref_state.pos)
+        )
+        assert float(ke1) == float(ref_ke)
+        # regime 2: chunked pallas sweeps (force it via a tiny budget)
+        s2, ke2 = make_host_chunked_block_fn(
+            0.1, 5, state.n_padded, accel_fn=None, tile_i=128, tile_j=128,
+            integrator=integ, max_pairs_per_exec=128 * 512,
+            interpret=True,
+        )(state)
+        ref2, ref2_ke = make_block_fn(
+            make_accel_fn("pallas", tile_i=128, tile_j=128, interpret=True),
+            0.1, 5, integrator=integ,
+        )(state)
+        np.testing.assert_array_equal(
+            np.asarray(s2.pos), np.asarray(ref2.pos)
+        )
+        assert float(ke2) == float(ref2_ke)
