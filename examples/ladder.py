@@ -30,6 +30,7 @@ def main() -> int:
     rungs = [
         ("naive jnp (ver0-2 analog)", "naive", {}),
         ("pallas tiled (ver3-8 analog)", "pallas", {}),
+        ("pallas pair-symmetric", "pallas_sym", {}),
         ("pallas bf16-dist", "pallas", {"dist_dtype": "bfloat16"}),
         ("pallas mxu experiment", "pallas_mxu", {}),
     ]

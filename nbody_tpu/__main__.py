@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-j", type=int, default=0)
     p.add_argument("--autotune", action="store_true",
                    help="on-device tile-size sweep before the run")
+    p.add_argument("--autotune-online", action="store_true",
+                   help="retune tiles during the run, one candidate per "
+                        "sample block (the OpenCL backend's per-block "
+                        "tuner analog)")
     p.add_argument("--fused", action="store_true",
                    help="run each sample block as ONE VMEM-resident kernel "
                         "(f32/single-device, N<=8192)")
@@ -152,6 +156,7 @@ def main(argv=None) -> int:
         seed=args.seed, energy_check=args.energy_check,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, autotune=args.autotune,
+        autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,
         precision=args.precision,
         shards=args.shards, comm=args.comm,

@@ -28,6 +28,10 @@ class SimConfig:
     tile_i: int = 0  # 0 = kernel default
     tile_j: int = 0
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
+    autotune_online: bool = False  # per-sample-block retune DURING the run
+    # (the reference's opencl tuner adjusts its split every sample block,
+    # opencl/Compute.cpp:317-321; here each candidate tiling gets a
+    # warm-up block plus a timed block, then the best is locked in)
     fused: bool = False  # whole sample block in one VMEM-resident kernel
     interpret: bool = False  # run Pallas kernels in interpreter mode
     # (debug / CPU execution of the pallas paths)

@@ -48,7 +48,8 @@ def _auto_tiles(n: int) -> tuple[int, int]:
 
 
 def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
-            rows_s, acc_s, *, steps, dt, tile_i, tile_j, integrator):
+            rows_s, acc_s, acc_rows_s, *, steps, dt, tile_i, tile_j,
+            integrator, sym):
     n = p_rows_in.shape[1]
     ni = n // tile_i
     nj = n // tile_j
@@ -62,7 +63,7 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
     v_cols_out[...] = v_cols_in[...]
     acc_s[...] = jnp.zeros_like(acc_s)
 
-    def sweep():
+    def sweep_full():
         """One i x j pair sweep of the current positions into acc_s.
         fori_loops with dynamic slices keep the compiled program size
         independent of N (python unrolling blows up Mosaic compile time
@@ -100,6 +101,63 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
             return _
 
         jax.lax.fori_loop(0, ni, i_body, 0)
+
+    def sweep_sym():
+        """Pair-symmetric sweep (ops/pallas_sym.py inside the fused
+        block): square tile_i blocks, each unordered pair once; the
+        j-side lands in the rows-layout accumulator and is folded into
+        acc_s with one relayout per sweep."""
+        B = tile_i
+        acc_rows_s[...] = jnp.zeros_like(acc_rows_s)
+
+        def i_body(it, _):
+            isl = pl.ds(it * B, B)
+            xi = p_cols_out[isl, 0:1]  # (B, 1)
+            yi = p_cols_out[isl, 1:2]
+            zi = p_cols_out[isl, 2:3]
+            gmi = p_cols_out[isl, 3:4]
+
+            def pair_terms(js):
+                xj = rows_s[0:1, js]
+                yj = rows_s[1:2, js]
+                zj = rows_s[2:3, js]
+                gmj = rows_s[3:4, js]
+                dx = xj - xi
+                dy = yj - yi
+                dz = zj - zi
+                d2 = dx * dx + dy * dy + dz * dz + eps2
+                inv = jax.lax.rsqrt(d2)
+                u = inv * inv * inv
+                return u * dx, u * dy, u * dz, gmj
+
+            px, py, pz, gmj = pair_terms(isl)  # diagonal block
+            ax = jnp.sum(gmj * px, axis=1, keepdims=True)
+            ay = jnp.sum(gmj * py, axis=1, keepdims=True)
+            az = jnp.sum(gmj * pz, axis=1, keepdims=True)
+
+            def j_body(jt, acc):
+                ax, ay, az = acc
+                js = pl.ds(jt * B, B)
+                px, py, pz, gmj = pair_terms(js)
+                ax += jnp.sum(gmj * px, axis=1, keepdims=True)
+                ay += jnp.sum(gmj * py, axis=1, keepdims=True)
+                az += jnp.sum(gmj * pz, axis=1, keepdims=True)
+                acc_rows_s[0:1, js] -= jnp.sum(gmi * px, axis=0, keepdims=True)
+                acc_rows_s[1:2, js] -= jnp.sum(gmi * py, axis=0, keepdims=True)
+                acc_rows_s[2:3, js] -= jnp.sum(gmi * pz, axis=0, keepdims=True)
+                return (ax, ay, az)
+
+            ax, ay, az = jax.lax.fori_loop(it + 1, ni, j_body, (ax, ay, az))
+            acc_s[isl, 0:1] = ax
+            acc_s[isl, 1:2] = ay
+            acc_s[isl, 2:3] = az
+            acc_s[isl, 3:8] = jnp.zeros((B, 5), f32)
+            return _
+
+        jax.lax.fori_loop(0, ni, i_body, 0)
+        acc_s[...] += jnp.transpose(acc_rows_s[...])
+
+    sweep = sweep_sym if sym else sweep_full
 
     def move(v):
         """Drift positions by v*dt in both layouts."""
@@ -139,16 +197,36 @@ def fused_block(
     tile_i: int = DEFAULT_TILE_I,
     tile_j: int = DEFAULT_TILE_J,
     integrator: str = "euler",
+    sym: bool = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Advance (pos (3,N), vel (3,N)) by ``steps`` steps in one Pallas
-    call (euler or leapfrog).  Returns (pos, vel)."""
+    call (euler or leapfrog).  Returns (pos, vel).
+
+    ``sym`` selects the pair-symmetric sweep (each unordered tile pair
+    once, square tile_i blocks — ops/pallas_sym.py inside the fused
+    block); None = auto (on when no explicit rectangular tiling was
+    requested)."""
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
     n = pos.shape[1]
-    auto_i, auto_j = _auto_tiles(n)
-    ti = min(tile_i or auto_i, n)
-    tj = min(tile_j or auto_j, n)
+    if sym is None:
+        sym = not (tile_i and tile_j and tile_i != tile_j)
+    if sym:
+        if tile_i:
+            ti = tj = min(tile_i, n)
+        else:
+            # Square blocks; biggest power-of-two divisor of n up to
+            # 1024 keeps the pair matrices VMEM-friendly and the loop
+            # count low.
+            b = 1024
+            while b > 1 and n % min(b, n):
+                b //= 2
+            ti = tj = min(b, n)
+    else:
+        auto_i, auto_j = _auto_tiles(n)
+        ti = min(tile_i or auto_i, n)
+        tj = min(tile_j or auto_j, n)
     if n % ti or n % tj:
         raise ValueError(f"N={n} must be divisible by tiles ({ti},{tj})")
     if n > MAX_FUSED_N:
@@ -159,8 +237,10 @@ def fused_block(
     p_rows = jnp.concatenate(
         [pos.astype(f32), gm[None, :], jnp.zeros((4, n), f32)], axis=0
     )  # (8, N)
+    # gm rides in column 3 (velocity col 3 is zero, so the integrator
+    # preserves it); the sym sweep reads it as the i-side mass scaling.
     p_cols = jnp.stack(
-        [pos[0], pos[1], pos[2], zeros, zeros, zeros, zeros, zeros], axis=1
+        [pos[0], pos[1], pos[2], gm, zeros, zeros, zeros, zeros], axis=1
     )  # (N, 8)
     v_cols = jnp.stack(
         [vel[0], vel[1], vel[2], zeros, zeros, zeros, zeros, zeros], axis=1
@@ -168,8 +248,9 @@ def fused_block(
 
     kernel = functools.partial(
         _kernel, steps=steps, dt=dt, tile_i=ti, tile_j=tj,
-        integrator=integrator,
+        integrator=integrator, sym=sym,
     )
+    pair_flops = 14 if sym else 20
     p_out, v_out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -188,11 +269,15 @@ def fused_block(
         scratch_shapes=[
             pltpu.VMEM((8, n), jnp.float32),
             pltpu.VMEM((n, 8), jnp.float32),
+            pltpu.VMEM((8, n), jnp.float32),  # sym j-side accumulator
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=20 * n * n * steps,
+            flops=pair_flops * n * n * steps,
             bytes_accessed=5 * n * 32,
-            transcendentals=n * n * steps,
+            transcendentals=(n * n * steps) // (2 if sym else 1),
         ),
         interpret=interpret,
     )(p_rows, p_cols, v_cols)

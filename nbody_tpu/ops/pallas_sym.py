@@ -42,12 +42,14 @@ from ..types import SOFTENING_SQUARED
 from .pallas_kernel import accelerations_between, pack_particles
 
 DEFAULT_BLOCK = 1024
-# 12*N bytes of resident state + ~7 (B,B) fp32 pair intermediates must
-# fit VMEM (measured ceiling on v5e; beyond it use kernel='pallas').
-MAX_SYM_N = 262144
+# 64*N bytes of resident state (two (8,N) fp32 buffers) + ~7 (B,B) fp32
+# pair intermediates must fit VMEM.  Measured on v5e: N=1048576 compiles
+# and runs at full rate (261.7 Gpairs/s) under a 100 MB scoped-vmem
+# limit; N=2M would need 128 MB of residency alone.
+MAX_SYM_N = 1048576
 
 
-def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks):
+def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass):
     f32 = jnp.float32
     eps2 = f32(SOFTENING_SQUARED)
     B = block
@@ -75,28 +77,46 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks):
             d2 = dx * dx + dy * dy + dz * dz + eps2
             inv = lax.rsqrt(d2)
             u = inv * inv * inv  # shared symmetric geometry 1/d^3
+            if fold_mass:
+                # Fold BOTH masses into the pair weight: S_i = gm_i * a_i
+                # accumulates, and the caller divides by gm_i once at the
+                # end.  Saves the second per-side mass scaling (4 element
+                # ops per unordered pair).
+                w = (gmi * gmj) * u
+                return w * dx, w * dy, w * dz, None
             return u * dx, u * dy, u * dz, gmj
 
         # Diagonal tile: both orderings of its pairs are present, one-sided
         # lane reduction covers them (ops/pallas_kernel.py orientation).
         px, py, pz, gmj = pair_terms(i0)
-        ax = jnp.sum(gmj * px, axis=1, keepdims=True)  # (B, 1)
-        ay = jnp.sum(gmj * py, axis=1, keepdims=True)
-        az = jnp.sum(gmj * pz, axis=1, keepdims=True)
+
+        def iside(p):
+            return jnp.sum(p if fold_mass else gmj * p, axis=1, keepdims=True)
+
+        ax, ay, az = iside(px), iside(py), iside(pz)  # (B, 1)
 
         def jt_body(jt, acc):
             ax, ay, az = acc
             j0 = jt * B
             px, py, pz, gmj = pair_terms(j0)
+
+            def iside(p):
+                return jnp.sum(p if fold_mass else gmj * p, axis=1,
+                               keepdims=True)
+
+            def jside(p):
+                return jnp.sum(p if fold_mass else gmi * p, axis=0,
+                               keepdims=True)
+
             # i side: a_i += G*m_j * u * d   (lane-axis sum, carried)
-            ax += jnp.sum(gmj * px, axis=1, keepdims=True)
-            ay += jnp.sum(gmj * py, axis=1, keepdims=True)
-            az += jnp.sum(gmj * pz, axis=1, keepdims=True)
+            ax += iside(px)
+            ay += iside(py)
+            az += iside(pz)
             # j side: a_j -= G*m_i * u * d   (sublane-axis sum)
             js = pl.ds(j0, B)
-            out_ref[0:1, js] -= jnp.sum(gmi * px, axis=0, keepdims=True)
-            out_ref[1:2, js] -= jnp.sum(gmi * py, axis=0, keepdims=True)
-            out_ref[2:3, js] -= jnp.sum(gmi * pz, axis=0, keepdims=True)
+            out_ref[0:1, js] -= jside(px)
+            out_ref[1:2, js] -= jside(py)
+            out_ref[2:3, js] -= jside(pz)
             return (ax, ay, az)
 
         ax, ay, az = lax.fori_loop(it + 1, nblocks, jt_body, (ax, ay, az))
@@ -107,6 +127,13 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks):
         return _
 
     lax.fori_loop(0, nblocks, it_body, 0)
+    if fold_mass:
+        # a = S / gm_i (zero-mass padding gets zero acceleration).
+        gm = ps_rows[3:4, :]
+        safe = jnp.where(gm > f32(0), gm, f32(1))
+        out_ref[0:3, :] = jnp.where(
+            gm > f32(0), out_ref[0:3, :] / safe, f32(0)
+        )
 
 
 def accelerations(
@@ -116,6 +143,7 @@ def accelerations(
     tile_i: int = 0,
     tile_j: int = 0,  # accepted for registry-option uniformity; unused
     dist_dtype: str = "float32",
+    fold_mass: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """All-pairs self-accelerations via the pair-symmetric sweep.
@@ -136,7 +164,8 @@ def accelerations(
         )
     ps_rows = pack_particles(pos, mass)  # (8, N)
     out = pl.pallas_call(
-        functools.partial(_sym_kernel, block=b, nblocks=n // b),
+        functools.partial(_sym_kernel, block=b, nblocks=n // b,
+                          fold_mass=fold_mass),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),

@@ -82,6 +82,9 @@ class _BlockRunner:
     def run_block(self, steps: int) -> float:  # returns kenergy, advances state
         raise NotImplementedError
 
+    def observe(self, block_secs: float) -> None:
+        """Feedback hook after each full sample block (online retuning)."""
+
     def save(self, path: str, step: int) -> None:
         raise NotImplementedError
 
@@ -129,22 +132,38 @@ class _DeviceRunner(_BlockRunner):
             state = jax.device_put(state, dev)
         from .ops.registry import resolve
 
-        if cfg.autotune and not (cfg.tile_i and cfg.tile_j):
-            ddt = "bfloat16" if cfg.precision == "bf16" else "float32"
-            resolved = resolve(cfg.kernel, n=state.n_padded, dist_dtype=ddt)
-            if cfg.fused:
-                family = "fused"
-            else:
-                family = {"pallas": "forward",
-                          "pallas_sym": "forward_sym"}.get(resolved)
-            if family:
-                from .utils.autotune import autotune_tiles
+        ddt = "bfloat16" if cfg.precision == "bf16" else "float32"
+        resolved = resolve(cfg.kernel, n=state.n_padded, dist_dtype=ddt)
+        if cfg.fused:
+            family = "fused"
+        else:
+            family = {"pallas": "forward",
+                      "pallas_sym": "forward_sym"}.get(resolved)
+        if cfg.autotune and family and not (cfg.tile_i and cfg.tile_j):
+            from .utils.autotune import autotune_tiles
 
-                cfg.tile_i, cfg.tile_j = autotune_tiles(
-                    state.n_padded, dist_dtype=ddt, family=family,
-                    interpret=cfg.interpret,
-                )
-                self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+            cfg.tile_i, cfg.tile_j = autotune_tiles(
+                state.n_padded, dist_dtype=ddt, family=family,
+                interpret=cfg.interpret,
+            )
+            self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+        self._online = None
+        if (
+            cfg.autotune_online
+            and family in ("forward", "forward_sym")
+            and cfg.shards == 1
+            and not (cfg.tile_i and cfg.tile_j)
+        ):
+            from .utils.autotune import DEFAULT_CANDIDATES
+
+            cands = [
+                c for c in DEFAULT_CANDIDATES[family]
+                if state.n_padded % c[0] == 0 and state.n_padded % c[1] == 0
+            ]
+            if cands:
+                self._online = dict(cands=cands, idx=0, results=[],
+                                    warmed=False, locked=False)
+                self._set_tiles(cands[0])
         if cfg.shards > 1:
             from .parallel.decompose import shard_state, make_sharded_block_fn
 
@@ -210,9 +229,36 @@ class _DeviceRunner(_BlockRunner):
         float(ke)
 
     def _cached(self, steps: int, build: Callable):
-        if steps not in self._blocks:
-            self._blocks[steps] = build()
-        return self._blocks[steps]
+        # Keyed by tiles too: the online retuner switches tile configs
+        # between sample blocks.
+        key = (steps, self.cfg.tile_i, self.cfg.tile_j)
+        if key not in self._blocks:
+            self._blocks[key] = build()
+        return self._blocks[key]
+
+    def _set_tiles(self, tiles) -> None:
+        self.cfg.tile_i, self.cfg.tile_j = tiles
+        self.accel_fn = make_accel_fn(self.cfg.kernel, **self.cfg.kernel_opts())
+
+    def observe(self, block_secs: float) -> None:
+        """Online per-block retuning (the reference's OpenCL tuner adjusts
+        its work split every sample block, opencl/Compute.cpp:317-321).
+        Each candidate gets one warm-up block (absorbs its compile) and
+        one timed block; after the last candidate the best is locked."""
+        ol = self._online
+        if not ol or ol["locked"]:
+            return
+        if not ol["warmed"]:
+            ol["warmed"] = True  # compile/warm-up block — discard timing
+            return
+        ol["results"].append((block_secs, ol["cands"][ol["idx"]]))
+        ol["idx"] += 1
+        ol["warmed"] = False
+        if ol["idx"] < len(ol["cands"]):
+            self._set_tiles(ol["cands"][ol["idx"]])
+        else:
+            ol["locked"] = True
+            self._set_tiles(min(ol["results"])[1])
 
     def run_block(self, steps: int) -> float:
         fn = self._block_for(steps)
@@ -325,6 +371,7 @@ def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
                 reporting.stats_row(step0 + s, t_phys, ke, block_secs, block_gf),
                 out,
             )
+            runner.observe(block_secs)
             if nf > 2:
                 av += block_gf
                 dev += block_gf * block_gf

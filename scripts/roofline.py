@@ -64,6 +64,9 @@ def measure_vpu_ceiling(op: str, reps: int = 3):
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024,
+                ),
             )(x)
         )
         out = f(x)
@@ -126,43 +129,60 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}")
 
-    # Issue-slot accounting: the fma chain measures elementwise issue
-    # slots/s (1 slot per element-FMA); the rsqrt chain is 1 rsqrt + 1
-    # add per element, so its per-element time minus one fma slot is the
-    # rsqrt's slot cost.
-    fma_slots = measure_vpu_ceiling("fma") / 2  # slots/s (fma = 2 flops)
-    rsq_chain = measure_vpu_ceiling("rsqrt")  # "2 ops"/elem accounting
-    rsq_elem_per_s = rsq_chain / 2  # elements/s through (rsqrt + add)
-    rsqrt_cost = fma_slots / rsq_elem_per_s - 1.0  # in fma slots
-    print(f"VPU fp32 elementwise ceiling : {fma_slots/1e12:.3f} Gslots/s*1e3 "
-          f"({2*fma_slots/1e12:.2f} TFLOP/s counting fma=2)")
-    print(f"rsqrt slot cost              : {rsqrt_cost:.2f} fma slots")
+    # Context probes: synthetic register/loop-carried op chains.  These
+    # UNDERSHOOT the true issue ceiling (loop carries round-trip VMEM;
+    # dependent chains are latency-bound) — they demonstrate that the
+    # production kernels out-issue any naive probe, not the ceiling
+    # itself.  docs/DESIGN.md "Roofline evidence" explains the
+    # methodology that does establish the ceiling: the two kernels'
+    # effective-issue-rate consistency.
+    fma_chain = measure_vpu_ceiling("fma")
+    rsq_chain = measure_vpu_ceiling("rsqrt")
+    print(f"chain probe, fma   : {fma_chain/1e12:.3f} Tops/s "
+          "(loop-carried; lower bound only)")
+    print(f"chain probe, rsqrt : {rsq_chain/2/1e12:.3f} G rsqrt/s*1e3 "
+          "(ditto)")
 
     # Instruction budgets counted from the kernel bodies (element-ops per
-    # pair-interaction; subtractions/multiplies/adds 1 slot each, fused
-    # multiply-adds 1):
-    #   pallas: 3 deltas + 4 (d2 with fmas + eps) + 2 (inv^3) + 1 (gm*u)
-    #           + 3 (w*d) + 3 reduce-adds = 16 + 1 rsqrt
+    # pair-interaction; sub/mul/add/fma = 1 slot, rsqrt = R slots):
+    #   pallas: 3 deltas + 4 (d2) + 2 (inv^3) + 1 (gm*u) + 3 (w*d)
+    #           + 3 reduce-adds               = 16 + 1.0 rsqrt / interaction
     #   sym (per unordered pair = 2 interactions): 3 + 4 + 2 + 3 (u*d)
-    #           + 6 (two mass scalings) + 6 (two reductions) = 24 + 1 rsqrt
+    #           + 6 (two mass scalings) + 6 (two reductions)
+    #                                         = 12 + 0.5 rsqrt / interaction
     BUDGET = {"pallas": (16.0, 1.0), "sym": (12.0, 0.5)}
 
     sizes = [(16384, 30), (131072, 3)] if args.quick else [
         (16384, 30), (65536, 6), (131072, 3), (262144, 2)]
+    meas = {}
     for n, loops in sizes:
         for kind, opts in (("pallas", {}), ("sym", dict(block=1024))):
             rates = [measure_kernel(kind, n, loops, **opts)
                      for _ in range(args.trials)]
             med = float(np.median(rates))
             spread = (max(rates) - min(rates)) / med * 100
-            arith, rs = BUDGET[kind]
-            slots_per_pair = arith + rs * rsqrt_cost
-            util = med * slots_per_pair / fma_slots
-            print(
-                f"{kind:7s} N={n:7d}: {med/1e9:7.1f} Gpairs/s "
-                f"(spread {spread:4.1f}%)  {slots_per_pair:.1f} slots/pair "
-                f"-> VPU issue-slot utilization {util*100:5.1f}%"
-            )
+            meas.setdefault(kind, []).append(med)
+            print(f"{kind:7s} N={n:7d}: {med/1e9:7.1f} Gpairs/s "
+                  f"(spread {spread:4.1f}%)")
+
+    # The roofline argument: solve for the rsqrt slot cost R that makes
+    # the two kernels' effective issue rates equal; if both sit on the
+    # hardware ceiling, R comes out at a plausible small constant and the
+    # shared rate IS the measured ceiling.
+    p = float(np.median(meas["pallas"]))
+    s = float(np.median(meas["sym"]))
+    (pa, pr), (sa, sr) = BUDGET["pallas"], BUDGET["sym"]
+    denom = s * sr - p * pr
+    if abs(denom) > 1e-9:
+        R = (p * pa - s * sa) / denom
+        ceiling = p * (pa + pr * R)
+        print(f"\nimplied rsqrt cost R = {R:.2f} slots (plausible if ~1-4); "
+              f"shared effective issue rate = {ceiling/1e12:.2f} Tslots/s")
+        for kind in BUDGET:
+            r = np.array(meas[kind])
+            print(f"  {kind:7s} rate flatness across N: "
+                  f"{(r.max()-r.min())/r.min()*100:.1f}% "
+                  "(flat = compute-bound, no HBM knee)")
 
 
 if __name__ == "__main__":

@@ -9,7 +9,8 @@ GOLDEN=tests/golden/ver0_n2000_s500.txt
 extract() { grep -E '^\s+[0-9]+' | awk '{print $1, $3}'; }
 
 want="$(extract < "$GOLDEN")"
-for args in "--kernel pallas" "--fused" "--kernel pallas --precision bf16"; do
+for args in "--kernel pallas" "--kernel pallas_sym" "--fused" \
+            "--kernel pallas --precision bf16"; do
     echo "== python -m nbody_tpu 2000 500 $args"
     got="$(python -m nbody_tpu 2000 500 $args 2>/dev/null | extract)"
     if [ "$args" = "--kernel pallas --precision bf16" ]; then

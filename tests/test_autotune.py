@@ -123,3 +123,26 @@ def test_differentiable_backward_tiles():
     np.testing.assert_allclose(
         np.asarray(loss(fn)), np.asarray(loss(ref_fn)), rtol=2e-4, atol=1e-9
     )
+
+
+def test_autotune_online_cycles_and_locks(monkeypatch):
+    """--autotune-online: one warm-up + one timed sample block per
+    candidate, best locked afterwards; physics identical to a fixed-tile
+    run (same kernel math, only tiling switches)."""
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "forward", ((32, 64), (64, 64))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=250, sfreq=50, kernel="pallas",
+                    interpret=True, autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    # after 2 candidates x (warm + timed) = 4 blocks, the 5th ran locked
+    assert (cfg.tile_i, cfg.tile_j) in ((32, 64), (64, 64))
+
+    ref = run(SimConfig(n=128, nsteps=250, sfreq=50, kernel="naive"),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r and abs(ke - ke_r) <= 1e-5 * max(abs(ke_r), 1e-9)
