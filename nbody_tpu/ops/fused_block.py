@@ -103,10 +103,11 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
         jax.lax.fori_loop(0, ni, i_body, 0)
 
     def sweep_sym():
-        """Pair-symmetric sweep (ops/pallas_sym.py inside the fused
-        block): square tile_i blocks, each unordered pair once; the
-        j-side lands in the rows-layout accumulator and is folded into
-        acc_s with one relayout per sweep."""
+        """Pair-symmetric mass-folded sweep (ops/pallas_sym.py inside the
+        fused block): square tile_i blocks, each unordered pair once with
+        w = gm_i*gm_j/d^3 shared by both sides; the j-side lands in the
+        rows-layout accumulator, folded into acc_s with one relayout per
+        sweep; an O(N) epilogue divide recovers accelerations."""
         B = tile_i
         acc_rows_s[...] = jnp.zeros_like(acc_rows_s)
 
@@ -127,24 +128,24 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
                 dz = zj - zi
                 d2 = dx * dx + dy * dy + dz * dz + eps2
                 inv = jax.lax.rsqrt(d2)
-                u = inv * inv * inv
-                return u * dx, u * dy, u * dz, gmj
+                w = (gmi * gmj) * (inv * inv * inv)
+                return w * dx, w * dy, w * dz
 
-            px, py, pz, gmj = pair_terms(isl)  # diagonal block
-            ax = jnp.sum(gmj * px, axis=1, keepdims=True)
-            ay = jnp.sum(gmj * py, axis=1, keepdims=True)
-            az = jnp.sum(gmj * pz, axis=1, keepdims=True)
+            px, py, pz = pair_terms(isl)  # diagonal block
+            ax = jnp.sum(px, axis=1, keepdims=True)
+            ay = jnp.sum(py, axis=1, keepdims=True)
+            az = jnp.sum(pz, axis=1, keepdims=True)
 
             def j_body(jt, acc):
                 ax, ay, az = acc
                 js = pl.ds(jt * B, B)
-                px, py, pz, gmj = pair_terms(js)
-                ax += jnp.sum(gmj * px, axis=1, keepdims=True)
-                ay += jnp.sum(gmj * py, axis=1, keepdims=True)
-                az += jnp.sum(gmj * pz, axis=1, keepdims=True)
-                acc_rows_s[0:1, js] -= jnp.sum(gmi * px, axis=0, keepdims=True)
-                acc_rows_s[1:2, js] -= jnp.sum(gmi * py, axis=0, keepdims=True)
-                acc_rows_s[2:3, js] -= jnp.sum(gmi * pz, axis=0, keepdims=True)
+                px, py, pz = pair_terms(js)
+                ax += jnp.sum(px, axis=1, keepdims=True)
+                ay += jnp.sum(py, axis=1, keepdims=True)
+                az += jnp.sum(pz, axis=1, keepdims=True)
+                acc_rows_s[0:1, js] -= jnp.sum(px, axis=0, keepdims=True)
+                acc_rows_s[1:2, js] -= jnp.sum(py, axis=0, keepdims=True)
+                acc_rows_s[2:3, js] -= jnp.sum(pz, axis=0, keepdims=True)
                 return (ax, ay, az)
 
             ax, ay, az = jax.lax.fori_loop(it + 1, ni, j_body, (ax, ay, az))
@@ -156,6 +157,10 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
 
         jax.lax.fori_loop(0, ni, i_body, 0)
         acc_s[...] += jnp.transpose(acc_rows_s[...])
+        # epilogue: a = S / gm_i (zero-mass padding -> zero acceleration)
+        gm = p_cols_out[:, 3:4]
+        safe = jnp.where(gm > f32(0), gm, f32(1))
+        acc_s[:, 0:3] = jnp.where(gm > f32(0), acc_s[:, 0:3] / safe, f32(0))
 
     sweep = sweep_sym if sym else sweep_full
 

@@ -22,10 +22,14 @@ one.  This kernel sweeps only tile pairs with jt >= it:
   they use the plain one-sided sweep (self-interaction included: dx = 0
   makes the term exactly zero — never mask the diagonal);
 
-Arithmetic per unordered pair: ~27 VPU ops + ONE rsqrt for TWO
-pair-interactions, vs ~20 ops + one rsqrt per single interaction in
-ops/pallas_kernel.py — a ~1.5x op-count reduction and exactly 2x fewer
-rsqrts.  Measured verdict: docs/DESIGN.md "Pair-symmetry kernel".
+Arithmetic per unordered pair (fold_mass=True default): both masses are
+folded into the pair weight w = (G m_i)(G m_j)/d^3 so each side's
+reduction consumes the SAME products, and one O(N) epilogue divide
+(a = S / G m_i; zero-mass padding -> zero) recovers the accelerations —
+~20 VPU ops + ONE rsqrt for TWO pair-interactions, vs ~17 ops + one
+rsqrt per single interaction in ops/pallas_kernel.py.  Measured verdict:
+docs/DESIGN.md "Pair-symmetry kernel" — 333 Gpairs/s on v5e, 1.77x the
+streaming kernel, golden trace exact at printed precision.
 """
 
 from __future__ import annotations
@@ -143,7 +147,7 @@ def accelerations(
     tile_i: int = 0,
     tile_j: int = 0,  # accepted for registry-option uniformity; unused
     dist_dtype: str = "float32",
-    fold_mass: bool = False,
+    fold_mass: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """All-pairs self-accelerations via the pair-symmetric sweep.
@@ -154,7 +158,12 @@ def accelerations(
         raise ValueError("pallas_sym is fp32-only (use kernel='pallas' "
                          "for the bf16 distance mode)")
     n = pos.shape[1]
-    b = min(block or tile_i or DEFAULT_BLOCK, n)
+    if not (block or tile_i):
+        # v5e VMEM is 128 MB; the (8,N) in+out residency costs 64*N bytes
+        # and the b=1024 pair intermediates spill ~64 MB, so huge N drops
+        # to b=512 (~16 MB of spills) to stay inside the chip.
+        block = DEFAULT_BLOCK if 64 * n <= 48 * 2**20 else 512
+    b = min(block or tile_i, n)
     if n % b:
         raise ValueError(f"N={n} must be divisible by block={b}")
     if n > MAX_SYM_N:
@@ -171,7 +180,7 @@ def accelerations(
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=128 * 1024 * 1024,  # v5e physical VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=14 * n * n,  # ~27 ops per unordered pair

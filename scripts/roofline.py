@@ -91,9 +91,11 @@ def measure_kernel(kind: str, n: int, loops: int, reps: int = 3, **opts):
 
     from nbody_tpu.ops import pallas_kernel, pallas_sym
 
-    fn = dict(
-        pallas=pallas_kernel.accelerations, sym=pallas_sym.accelerations
-    )[kind]
+    fn = {
+        "pallas": pallas_kernel.accelerations,
+        "sym": functools.partial(pallas_sym.accelerations, fold_mass=False),
+        "sym-fold": pallas_sym.accelerations,  # fold_mass=True default
+    }[kind]
 
     rng = np.random.default_rng(0)
     pos = jax.numpy.asarray(rng.random((3, n)), jax.numpy.float32)
@@ -150,13 +152,17 @@ def main():
     #   sym (per unordered pair = 2 interactions): 3 + 4 + 2 + 3 (u*d)
     #           + 6 (two mass scalings) + 6 (two reductions)
     #                                         = 12 + 0.5 rsqrt / interaction
-    BUDGET = {"pallas": (16.0, 1.0), "sym": (12.0, 0.5)}
+    #   sym-fold (mass-folded, production default): 3 + 4 + 4 (w) + 3
+    #           + 6 (two reductions)          = 10 + 0.5 rsqrt / interaction
+    BUDGET = {"pallas": (16.0, 1.0), "sym": (12.0, 0.5),
+              "sym-fold": (10.0, 0.5)}
 
     sizes = [(16384, 30), (131072, 3)] if args.quick else [
         (16384, 30), (65536, 6), (131072, 3), (262144, 2)]
     meas = {}
     for n, loops in sizes:
-        for kind, opts in (("pallas", {}), ("sym", dict(block=1024))):
+        for kind, opts in (("pallas", {}), ("sym", dict(block=1024)),
+                           ("sym-fold", dict(block=1024))):
             rates = [measure_kernel(kind, n, loops, **opts)
                      for _ in range(args.trials)]
             med = float(np.median(rates))
@@ -166,9 +172,11 @@ def main():
                   f"(spread {spread:4.1f}%)")
 
     # The roofline argument: solve for the rsqrt slot cost R that makes
-    # the two kernels' effective issue rates equal; if both sit on the
-    # hardware ceiling, R comes out at a plausible small constant and the
-    # shared rate IS the measured ceiling.
+    # the pallas/sym pair's effective issue rates equal (same reduction
+    # structure share); if both sit on the hardware ceiling, R comes out
+    # a plausible small constant and the shared rate IS the measured
+    # ceiling.  The mass-folded production kernel is then scored against
+    # that ceiling (op-count model uncertainty is ~±1 op ≈ ±8%).
     p = float(np.median(meas["pallas"]))
     s = float(np.median(meas["sym"]))
     (pa, pr), (sa, sr) = BUDGET["pallas"], BUDGET["sym"]
@@ -178,9 +186,13 @@ def main():
         ceiling = p * (pa + pr * R)
         print(f"\nimplied rsqrt cost R = {R:.2f} slots (plausible if ~1-4); "
               f"shared effective issue rate = {ceiling/1e12:.2f} Tslots/s")
+        fa, fr = BUDGET["sym-fold"]
+        f = float(np.median(meas["sym-fold"]))
+        print(f"  sym-fold (production): {f*(fa + fr*R)/1e12:.2f} Tslots/s "
+              f"= {f*(fa + fr*R)/ceiling*100:.0f}% of that ceiling")
         for kind in BUDGET:
             r = np.array(meas[kind])
-            print(f"  {kind:7s} rate flatness across N: "
+            print(f"  {kind:8s} rate flatness across N: "
                   f"{(r.max()-r.min())/r.min()*100:.1f}% "
                   "(flat = compute-bound, no HBM knee)")
 
