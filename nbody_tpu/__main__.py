@@ -65,9 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "exercise the pallas paths on CPU)")
     p.add_argument("--shards", type=int, default=1)
     p.add_argument("--comm", default="allgather",
-                   choices=["allgather", "ring", "rdma"],
+                   choices=["allgather", "ring", "ring_sym", "rdma"],
                    help="sharded source exchange: XLA all-gather, XLA "
-                        "ppermute ring, or the fused in-kernel RDMA ring")
+                        "ppermute ring, the pair-symmetric half-ring "
+                        "(~half the compute AND hops), or the fused "
+                        "in-kernel RDMA ring")
     p.add_argument("--sfreq", type=int, default=50)
     p.add_argument("--dt", type=float, default=0.1)
     p.add_argument("--integrator", default="euler",

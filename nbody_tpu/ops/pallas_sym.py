@@ -140,6 +140,117 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass):
         )
 
 
+def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj):
+    """All (i-tile, j-tile) block pairs of targets x sources, each block
+    computed ONCE with the mass-folded weight feeding BOTH accumulators:
+    out_t gets the action on the targets, out_s the reaction on the
+    sources.  The building block of the half-ring multi-chip sweep
+    (parallel/decompose._accel_ring_sym): a cross-shard block pair is
+    evaluated by one shard only, and the reaction rides the ring home."""
+    f32 = jnp.float32
+    eps2 = f32(SOFTENING_SQUARED)
+    B = block
+
+    out_s[...] = jnp.zeros_like(out_s)
+
+    def it_body(it, _):
+        i0 = it * B
+        itile_s[...] = jnp.transpose(ps_t[:, pl.ds(i0, B)])
+        xi = itile_s[:, 0:1]
+        yi = itile_s[:, 1:2]
+        zi = itile_s[:, 2:3]
+        gmi = itile_s[:, 3:4]
+
+        def jt_body(jt, acc):
+            ax, ay, az = acc
+            j0 = jt * B
+            xj = ps_s[0:1, pl.ds(j0, B)]
+            yj = ps_s[1:2, pl.ds(j0, B)]
+            zj = ps_s[2:3, pl.ds(j0, B)]
+            gmj = ps_s[3:4, pl.ds(j0, B)]
+            dx = xj - xi  # (B, B)
+            dy = yj - yi
+            dz = zj - zi
+            d2 = dx * dx + dy * dy + dz * dz + eps2
+            inv = lax.rsqrt(d2)
+            w = (gmi * gmj) * (inv * inv * inv)
+            px, py, pz = w * dx, w * dy, w * dz
+            ax += jnp.sum(px, axis=1, keepdims=True)
+            ay += jnp.sum(py, axis=1, keepdims=True)
+            az += jnp.sum(pz, axis=1, keepdims=True)
+            js = pl.ds(j0, B)
+            out_s[0:1, js] -= jnp.sum(px, axis=0, keepdims=True)
+            out_s[1:2, js] -= jnp.sum(py, axis=0, keepdims=True)
+            out_s[2:3, js] -= jnp.sum(pz, axis=0, keepdims=True)
+            return (ax, ay, az)
+
+        zero = jnp.zeros((B, 1), jnp.float32)
+        ax, ay, az = lax.fori_loop(0, nbj, jt_body, (zero, zero, zero))
+        isl = pl.ds(i0, B)
+        out_t[0:1, isl] = jnp.transpose(ax)
+        out_t[1:2, isl] = jnp.transpose(ay)
+        out_t[2:3, isl] = jnp.transpose(az)
+        out_t[3:8, isl] = jnp.zeros((5, B), f32)
+        return _
+
+    lax.fori_loop(0, nbi, it_body, 0)
+
+    def divide(out, ps):
+        gm = ps[3:4, :]
+        safe = jnp.where(gm > f32(0), gm, f32(1))
+        out[0:3, :] = jnp.where(gm > f32(0), out[0:3, :] / safe, f32(0))
+
+    divide(out_t, ps_t)
+    divide(out_s, ps_s)
+
+
+def accelerations_two_sided(
+    pos_t: jax.Array,
+    mass_t: jax.Array,
+    pos_s: jax.Array,
+    mass_s: jax.Array,
+    block: int = 0,
+    interpret: bool = False,
+) -> tuple:
+    """Action AND reaction of one target-set x source-set sweep: returns
+    (acc_t (3,Nt), acc_s (3,Ns)) with every unordered cross pair computed
+    once (mass-folded).  Both particle sets must be VMEM-resident."""
+    nt, ns = pos_t.shape[1], pos_s.shape[1]
+    b = block or min(DEFAULT_BLOCK, nt, ns)
+    b = min(b, nt, ns)
+    if nt % b or ns % b:
+        raise ValueError(f"Nt={nt}, Ns={ns} must be divisible by block={b}")
+    ps_t = pack_particles(pos_t, mass_t)
+    ps_s = pack_particles(pos_s, mass_s)
+    out_t, out_s = pl.pallas_call(
+        functools.partial(_two_sided_kernel, block=b, nbi=nt // b,
+                          nbj=ns // b),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, nt), jnp.float32),
+            jax.ShapeDtypeStruct((8, ns), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((b, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * nt * ns,
+            bytes_accessed=(nt + ns) * 64,
+            transcendentals=nt * ns // 2,
+        ),
+        interpret=interpret,
+    )(ps_t, ps_s)
+    return out_t[0:3, :], out_s[0:3, :]
+
+
 def accelerations(
     pos: jax.Array,
     mass: jax.Array,

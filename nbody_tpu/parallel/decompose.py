@@ -103,6 +103,52 @@ def _accel_ring(between_fn, pos_l, mass_l):
     return acc
 
 
+def _accel_ring_sym(pos_l, mass_l, self_fn, two_sided_fn):
+    """Half-ring with pair symmetry: each unordered SHARD pair is
+    computed exactly once, by one of its two members, with the reaction
+    forces riding the ring buffer back home — both the pair compute and
+    the hop count are ~halved vs the plain ring (the multi-chip analog
+    of ops/pallas_sym.py's F_ij = -F_ji trick).
+
+    Per step: the diagonal shard block runs the local pair-symmetric
+    kernel; floor((K-1)/2) forward hops stream (positions, masses,
+    reaction-accumulator) right, each hop evaluating one two-sided block
+    pair; for even K one extra hop covers the antipodal pairs on half
+    the shards (masked on the rest); finally one ppermute returns each
+    accumulated reaction to its home shard."""
+    k = lax.axis_size(AXIS)
+    nl = pos_l.shape[1]
+    acc = self_fn(pos_l, mass_l)
+    if k == 1:
+        return acc
+    fwd = [(i, (i + 1) % k) for i in range(k)]
+    buf = jnp.concatenate(
+        [pos_l, mass_l[None, :], jnp.zeros((3, nl), pos_l.dtype)], axis=0
+    )  # (7, Nl): source block + its traveling reaction accumulator
+    h_max = (k - 1) // 2
+    for _ in range(h_max):
+        buf = lax.ppermute(buf, AXIS, fwd)
+        a_t, a_s = two_sided_fn(pos_l, mass_l, buf[0:3], buf[3])
+        acc = acc + a_t
+        buf = buf.at[4:7].add(a_s)
+    h_final = h_max
+    if k % 2 == 0:
+        # Antipodal pairs (distance K/2) are seen by both members; let
+        # the lower-indexed one compute both sides, mask the other.
+        buf = lax.ppermute(buf, AXIS, fwd)
+        a_t, a_s = two_sided_fn(pos_l, mass_l, buf[0:3], buf[3])
+        keep = jnp.where(lax.axis_index(AXIS) < k // 2,
+                         jnp.float32(1), jnp.float32(0))
+        acc = acc + a_t * keep
+        buf = buf.at[4:7].add(a_s * keep)
+        h_final += 1
+    # One hop home: the block (and its reactions) sits h_final shards
+    # ahead of its owner.
+    back = [(i, (i - h_final) % k) for i in range(k)]
+    react = lax.ppermute(buf[4:7], AXIS, back)
+    return acc + react
+
+
 _ACCEL_MODES = {"allgather": _accel_allgather, "ring": _accel_ring}
 
 
@@ -131,6 +177,28 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         def accel_local(p, m):
             return ring_accelerations(p, m, k, **ropts)
 
+    elif comm == "ring_sym":
+        # Half-ring with pair symmetry (kernel choice is implied: the
+        # pair-symmetric kernels are what make the mode exist).
+        from ..ops import pallas_sym
+
+        # NOTE: do not name this `block` — the sample-block fn defined
+        # below rebinds that name in this scope (late-binding closures).
+        blk_size = kernel_opts.get("tile_i", 0)
+        interp = bool(kernel_opts.get("interpret", False))
+
+        def self_fn(p, m):
+            return pallas_sym.accelerations(p, m, block=blk_size,
+                                            interpret=interp)
+
+        def two_sided_fn(pt, mt, ps, ms):
+            return pallas_sym.accelerations_two_sided(
+                pt, mt, ps, ms, block=blk_size, interpret=interp
+            )
+
+        def accel_local(p, m):
+            return _accel_ring_sym(p, m, self_fn, two_sided_fn)
+
     else:
         between_fn = registry.get_between(kernel_name)
         if kernel_opts:
@@ -140,7 +208,7 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         except KeyError:
             raise ValueError(
                 f"unknown comm mode {comm!r}; options: "
-                f"{sorted(_ACCEL_MODES) + ['rdma']}"
+                f"{sorted(_ACCEL_MODES) + ['rdma', 'ring_sym']}"
             ) from None
 
         def accel_local(p, m):

@@ -51,6 +51,8 @@ MATRIX = [
     ["128", "50", "--kernel", "pallas_sym", "--interpret", "--tile-i", "64"],
     ["128", "50", "--kernel", "pallas_sym", "--interpret", "--tile-i", "32",
      "--shards", "4", "--comm", "ring"],  # sharded: between-form fallback
+    ["128", "50", "--kernel", "pallas_sym", "--interpret", "--tile-i", "16",
+     "--shards", "8", "--comm", "ring_sym"],  # pair-symmetric half-ring
 ]
 
 

@@ -201,3 +201,27 @@ def test_pallas_sym_guards():
         pallas_sym.accelerations(pos, mass, dist_dtype="bfloat16")
     with _pytest.raises(ValueError, match="divisible"):
         pallas_sym.accelerations(pos, mass, block=300)
+
+
+def test_two_sided_block_matches_naive():
+    """accelerations_two_sided returns both the action on targets and
+    the reaction on sources from one sweep (the half-ring building
+    block)."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.ops import naive, pallas_sym
+
+    a = make_state(256, pad_multiple=64)
+    b = make_state(192, pad_multiple=64, distribution="plummer", seed=3)
+    acc_t, acc_s = pallas_sym.accelerations_two_sided(
+        a.pos, a.mass, b.pos, b.mass, block=64, interpret=True
+    )
+    ref_t = naive.accelerations_between(a.pos, b.pos, b.mass)
+    ref_s = naive.accelerations_between(b.pos, a.pos, a.mass)
+    np.testing.assert_allclose(
+        np.asarray(acc_t), np.asarray(ref_t), rtol=3e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_s), np.asarray(ref_s), rtol=3e-5, atol=1e-8
+    )

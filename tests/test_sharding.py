@@ -133,3 +133,51 @@ def test_uneven_shard_rejected():
     state = make_state(100)  # 100 not divisible by 8
     with pytest.raises(ValueError):
         shard_state(state, 8)
+
+
+def test_ring_sym_matches_single_device():
+    """The pair-symmetric half-ring (--comm ring_sym): each unordered
+    shard pair computed once, reactions ride the ring home — must agree
+    with the single-device reference for odd K, even K (antipodal-pair
+    masking), and K=2."""
+    n = 500
+    state = make_state(n, pad_multiple=48)  # 528: divisible by 2,3,8
+    ref_state, ref_ke = _single_device_reference_state(state, 5)
+    for k in (8, 3, 2):
+        mesh = make_mesh(k)
+        sharded, _ = shard_state(state, k, mesh=mesh)
+        local = state.n_padded // k
+        opts = dict(tile_i=min(22, local), interpret=True)
+        blk = make_sharded_block_fn("pallas_sym", opts, 0.1, 5, mesh,
+                                    comm="ring_sym")
+        out, ke = blk(sharded)
+        np.testing.assert_allclose(
+            np.asarray(out.pos), np.asarray(ref_state.pos),
+            rtol=2e-6, atol=1e-10, err_msg=f"K={k}",
+        )
+        assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
+
+
+def _single_device_reference_state(state, steps):
+    from nbody_tpu.models.gravity import make_accel_fn
+    from nbody_tpu.models.integrators import make_block_fn
+
+    return make_block_fn(make_accel_fn("naive"), 0.1, steps)(state)
+
+
+def test_ring_sym_leapfrog():
+    state = make_state(512, pad_multiple=8)
+    from nbody_tpu.models.gravity import make_accel_fn
+    from nbody_tpu.models.integrators import make_block_fn
+
+    _, ref_ke = make_block_fn(
+        make_accel_fn("naive"), 0.1, 5, integrator="leapfrog"
+    )(state)
+    mesh = make_mesh(8)
+    sharded, _ = shard_state(state, 8, mesh=mesh)
+    blk = make_sharded_block_fn(
+        "pallas_sym", dict(tile_i=32, interpret=True), 0.1, 5, mesh,
+        comm="ring_sym", integrator="leapfrog",
+    )
+    _, ke = blk(sharded)
+    assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
