@@ -91,6 +91,8 @@ def _timed_steps(cfg, nsteps):
             cfg.dt, nsteps, state.n_padded,
             accel_fn=make_accel_fn(cfg.kernel, **cfg.kernel_opts()),
             dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
+            sym=cfg.kernel in ("auto", "pallas_sym")
+            and cfg.precision == "f32",
         )
     else:
         blk = make_block_fn(

@@ -39,7 +39,7 @@ class SimConfig:
 
     # Parallelism (the USE_MPI axis, as GSPMD sharding).
     shards: int = 1
-    comm: str = "allgather"  # allgather | ring
+    comm: str = "allgather"  # allgather | ring | ring_sym | rdma
 
     # Placement: None = default accelerator; "cpu" pins to host backend.
     platform: Optional[str] = None

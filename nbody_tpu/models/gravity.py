@@ -91,12 +91,33 @@ def needs_host_chunking(n_padded: int, block_steps: int) -> bool:
     return n_padded * n_padded * block_steps > MAX_PAIRS_PER_EXEC
 
 
+def _sym_chunking(n: int, max_pairs: int) -> int | None:
+    """Pick an equal chunk size for the pair-symmetric host-chunked sweep:
+    the largest divisor of ``n`` that is lane-aligned, keeps one cross
+    sweep (per^2 unordered pairs) inside the per-executable budget, and
+    keeps the two-sided kernel's VMEM residency (128*per bytes of (8,per)
+    buffers) on-chip.  None when no divisor qualifies (caller falls back
+    to the streaming chunked sweep)."""
+    from ..ops.pallas_sym import MAX_SYM_N
+
+    # per <= 512k keeps the two-sided cross kernel in its fast b=1024
+    # regime (64*(2*per) <= 80 MB VMEM residency; measured 1.30x over
+    # b=512 — see ops/pallas_sym.accelerations_two_sided).
+    cap = min(int(max_pairs ** 0.5), MAX_SYM_N, 512 * 2**10)
+    best = None
+    for per in range(128, cap + 1, 128):
+        if n % per == 0 and n // per >= 2:
+            best = per
+    return best
+
+
 def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
                                accel_fn: AccelFn = None,
                                tile_i: int = 0, tile_j: int = 0,
                                integrator: str = "euler",
                                max_pairs_per_exec: int = MAX_PAIRS_PER_EXEC,
                                dist_dtype: str = "float32",
+                               sym: bool = False,
                                interpret: bool = False):
     """Watchdog-safe sample block for huge work (needs_host_chunking):
     the block is orchestrated from the host as many short executables
@@ -153,6 +174,14 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
 
         return block
 
+    sym_per = (
+        _sym_chunking(n_padded, max_pairs_per_exec)
+        if sym and dist_dtype == "float32" else None
+    )
+    if sym_per is not None:
+        sweep = _make_sym_chunked_sweep(n_padded, sym_per, interpret)
+        return _orchestrated_block(sweep, dtf, half, block_steps, integrator)
+
     from ..ops.pallas_kernel import (
         DEFAULT_TILE_I,
         DEFAULT_TILE_J,
@@ -190,6 +219,68 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
         for i0, c in zip(starts, chunks):
             acc = lax.dynamic_update_slice(acc, c, (0, i0))
         return acc
+
+    return _orchestrated_block(sweep, dtf, half, block_steps, integrator)
+
+
+def _make_sym_chunked_sweep(n_padded: int, per: int, interpret: bool,
+                            block: int = 0):
+    """Pair-symmetric host-chunked force sweep: the particle range is cut
+    into C = n/per equal chunks and every unordered CHUNK pair is computed
+    by exactly one short executable — diagonal chunks by the resident sym
+    kernel, cross chunks by the two-sided action/reaction kernel — so the
+    whole sweep does N^2/2 pair evaluations instead of N^2.  One assemble
+    executable sums each chunk's C contributions (the mass division is
+    linear, so per-call divided contributions add exactly like undivided
+    sums).  Two compiled programs serve all chunk indices (dynamic
+    starts)."""
+    from jax import lax
+
+    from ..ops.pallas_sym import accelerations as sym_accel
+    from ..ops.pallas_sym import accelerations_two_sided
+
+    C = n_padded // per
+    starts = [i * per for i in range(C)]
+
+    @jax.jit
+    def diag_chunk(pos, mass, i0):
+        p = lax.dynamic_slice(pos, (0, i0), (3, per))
+        m = lax.dynamic_slice(mass, (i0,), (per,))
+        return sym_accel(p, m, block=block, interpret=interpret)
+
+    @jax.jit
+    def cross_chunk(pos, mass, i0, j0):
+        pt = lax.dynamic_slice(pos, (0, i0), (3, per))
+        mt = lax.dynamic_slice(mass, (i0,), (per,))
+        ps = lax.dynamic_slice(pos, (0, j0), (3, per))
+        ms = lax.dynamic_slice(mass, (j0,), (per,))
+        return accelerations_two_sided(pt, mt, ps, ms, block=block,
+                                       interpret=interpret)
+
+    @jax.jit
+    def assemble(parts):
+        return jnp.concatenate(
+            [sum(p[1:], p[0]) for p in parts], axis=1
+        )
+
+    def sweep(pos, mass):
+        parts = [[] for _ in range(C)]
+        for i in range(C):
+            parts[i].append(diag_chunk(pos, mass, jnp.int32(starts[i])))
+            for j in range(i + 1, C):
+                at, ar = cross_chunk(
+                    pos, mass, jnp.int32(starts[i]), jnp.int32(starts[j])
+                )
+                parts[i].append(at)
+                parts[j].append(ar)
+        return assemble(tuple(tuple(p) for p in parts))
+
+    return sweep
+
+
+def _orchestrated_block(sweep, dtf, half, block_steps: int, integrator: str):
+    """Host-orchestrated sample block over a ``sweep(pos, mass) -> acc``
+    built from short executables; no host syncs between them."""
 
     @jax.jit
     def euler_update(pos, vel, acc):

@@ -53,12 +53,35 @@ DEFAULT_BLOCK = 1024
 MAX_SYM_N = 1048576
 
 
-def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass):
+def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
+                mxu_reduce=False):
     f32 = jnp.float32
     eps2 = f32(SOFTENING_SQUARED)
     B = block
 
     out_ref[...] = jnp.zeros_like(out_ref)
+
+    if mxu_reduce:
+        # Offload both reductions to the (otherwise idle) MXU as
+        # dot-with-ones contractions so the VPU only produces the pair
+        # terms.  HIGHEST precision keeps the fp32 sum exact to normal
+        # fp32 accumulation (ones * x products are exact).
+        ones_col = jnp.ones((B, 1), f32)
+        ones_row = jnp.ones((1, B), f32)
+
+        def _sum_lanes(p):  # (B,B) -> (B,1)
+            return jax.lax.dot(p, ones_col,
+                               precision=jax.lax.Precision.HIGHEST)
+
+        def _sum_sublanes(p):  # (B,B) -> (1,B)
+            return jax.lax.dot(ones_row, p,
+                               precision=jax.lax.Precision.HIGHEST)
+    else:
+        def _sum_lanes(p):
+            return jnp.sum(p, axis=1, keepdims=True)
+
+        def _sum_sublanes(p):
+            return jnp.sum(p, axis=0, keepdims=True)
 
     def it_body(it, _):
         i0 = it * B
@@ -95,7 +118,7 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass):
         px, py, pz, gmj = pair_terms(i0)
 
         def iside(p):
-            return jnp.sum(p if fold_mass else gmj * p, axis=1, keepdims=True)
+            return _sum_lanes(p if fold_mass else gmj * p)
 
         ax, ay, az = iside(px), iside(py), iside(pz)  # (B, 1)
 
@@ -105,12 +128,10 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass):
             px, py, pz, gmj = pair_terms(j0)
 
             def iside(p):
-                return jnp.sum(p if fold_mass else gmj * p, axis=1,
-                               keepdims=True)
+                return _sum_lanes(p if fold_mass else gmj * p)
 
             def jside(p):
-                return jnp.sum(p if fold_mass else gmi * p, axis=0,
-                               keepdims=True)
+                return _sum_sublanes(p if fold_mass else gmi * p)
 
             # i side: a_i += G*m_j * u * d   (lane-axis sum, carried)
             ax += iside(px)
@@ -216,8 +237,16 @@ def accelerations_two_sided(
     (acc_t (3,Nt), acc_s (3,Ns)) with every unordered cross pair computed
     once (mass-folded).  Both particle sets must be VMEM-resident."""
     nt, ns = pos_t.shape[1], pos_s.shape[1]
-    b = block or min(DEFAULT_BLOCK, nt, ns)
-    b = min(b, nt, ns)
+    if not block:
+        # Four (8,·) fp32 buffers resident (in+out per side) cost
+        # 64*(nt+ns) bytes; with the ~28 MB of b=1024 (B,B) pair
+        # intermediates the total must stay inside the 128 MB v5e VMEM.
+        # Measured at nt=ns=524288 (67 MB residency): b=1024 compiles and
+        # runs 1.30x faster than b=512 (307.5 vs 237.2 Gpairs/s model in
+        # the chunked sweep); above ~80 MB drop to b=512.
+        block = (DEFAULT_BLOCK
+                 if 64 * (nt + ns) <= 80 * 2**20 else 512)
+    b = min(block, nt, ns)
     if nt % b or ns % b:
         raise ValueError(f"Nt={nt}, Ns={ns} must be divisible by block={b}")
     ps_t = pack_particles(pos_t, mass_t)
@@ -259,6 +288,7 @@ def accelerations(
     tile_j: int = 0,  # accepted for registry-option uniformity; unused
     dist_dtype: str = "float32",
     fold_mass: bool = True,
+    mxu_reduce: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """All-pairs self-accelerations via the pair-symmetric sweep.
@@ -285,7 +315,7 @@ def accelerations(
     ps_rows = pack_particles(pos, mass)  # (8, N)
     out = pl.pallas_call(
         functools.partial(_sym_kernel, block=b, nblocks=n // b,
-                          fold_mass=fold_mass),
+                          fold_mass=fold_mass, mxu_reduce=mxu_reduce),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),

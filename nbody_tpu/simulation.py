@@ -201,7 +201,9 @@ class _DeviceRunner(_BlockRunner):
                 if needs_host_chunking(state.n_padded, steps):
                     # Huge N: the single-executable block would trip the
                     # runtime watchdog; orchestrate short executables from
-                    # the host (always the tiled between kernel).
+                    # the host (pair-symmetric chunk sweeps when the
+                    # kernel choice allows, else the tiled between
+                    # kernel).
                     return make_host_chunked_block_fn(
                         cfg.dt, steps, state.n_padded,
                         accel_fn=self.accel_fn,
@@ -209,6 +211,8 @@ class _DeviceRunner(_BlockRunner):
                         integrator=cfg.integrator,
                         dist_dtype="bfloat16" if cfg.precision == "bf16"
                         else "float32",
+                        sym=cfg.kernel in ("auto", "pallas_sym")
+                        and cfg.precision == "f32",
                         interpret=cfg.interpret,
                     )
                 return make_block_fn(

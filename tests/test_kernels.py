@@ -189,6 +189,27 @@ def test_pallas_sym_matches_naive():
         assert err < 5e-6, (b, err)
 
 
+def test_pallas_sym_mxu_reduce_matches():
+    """The MXU-offloaded reduction variant (documented negative result
+    for speed, docs/DESIGN.md) must stay numerically equivalent."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.ops import pallas_sym
+
+    state = make_state(512, pad_multiple=256)
+    ref = np.asarray(
+        pallas_sym.accelerations(state.pos, state.mass, block=256,
+                                 interpret=True)
+    )
+    mxu = np.asarray(
+        pallas_sym.accelerations(state.pos, state.mass, block=256,
+                                 mxu_reduce=True, interpret=True)
+    )
+    err = np.linalg.norm(mxu - ref) / np.linalg.norm(ref)
+    assert err < 1e-6, err
+
+
 def test_pallas_sym_guards():
     import numpy as np
     import pytest as _pytest

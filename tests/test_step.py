@@ -151,3 +151,37 @@ def test_host_chunked_block_matches_block_fn():
             np.asarray(s2.pos), np.asarray(ref2.pos)
         )
         assert float(ke2) == float(ref2_ke)
+        # regime 3: pair-symmetric chunk sweeps (diag sym kernel +
+        # two-sided cross kernels; accumulation order differs from the
+        # monolithic kernel, so allclose instead of bit-equality)
+        s3, ke3 = make_host_chunked_block_fn(
+            0.1, 5, state.n_padded, accel_fn=None,
+            integrator=integ, max_pairs_per_exec=128 * 512,
+            sym=True, interpret=True,
+        )(state)
+        np.testing.assert_allclose(
+            np.asarray(s3.pos), np.asarray(ref_state.pos),
+            rtol=2e-5, atol=1e-6,
+        )
+        assert abs(float(ke3) - float(ref_ke)) <= 1e-4 * abs(float(ref_ke))
+
+
+def test_sym_chunked_sweep_matches_naive():
+    """The pair-symmetric host-chunked sweep (every unordered chunk pair
+    computed once) must agree with the naive all-pairs force."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import _make_sym_chunked_sweep, _sym_chunking
+    from nbody_tpu.ops import naive
+
+    state = make_state(700, pad_multiple=256)  # n_padded=768, 3 chunks
+    per = _sym_chunking(state.n_padded, max_pairs=256 * 256)
+    assert per == 256 and state.n_padded // per == 3
+    sweep = _make_sym_chunked_sweep(state.n_padded, per, interpret=True)
+    acc = np.asarray(sweep(state.pos, state.mass))
+    ref = np.asarray(naive.accelerations(state.pos, state.mass))
+    err = np.linalg.norm(acc - ref) / np.linalg.norm(ref)
+    assert err < 5e-6, err
+    # zero-mass padding stays force-neutral
+    assert np.all(acc[:, state.n:] == 0.0)
