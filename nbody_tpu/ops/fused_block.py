@@ -48,8 +48,7 @@ def _auto_tiles(n: int) -> tuple[int, int]:
 
 
 def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
-            rows_s, acc_s, acc_rows_s, *, steps, dt, tile_i, tile_j,
-            integrator, sym):
+            rows_s, acc_s, *, steps, dt, tile_i, tile_j, integrator):
     n = p_rows_in.shape[1]
     ni = n // tile_i
     nj = n // tile_j
@@ -102,67 +101,7 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
 
         jax.lax.fori_loop(0, ni, i_body, 0)
 
-    def sweep_sym():
-        """Pair-symmetric mass-folded sweep (ops/pallas_sym.py inside the
-        fused block): square tile_i blocks, each unordered pair once with
-        w = gm_i*gm_j/d^3 shared by both sides; the j-side lands in the
-        rows-layout accumulator, folded into acc_s with one relayout per
-        sweep; an O(N) epilogue divide recovers accelerations."""
-        B = tile_i
-        acc_rows_s[...] = jnp.zeros_like(acc_rows_s)
-
-        def i_body(it, _):
-            isl = pl.ds(it * B, B)
-            xi = p_cols_out[isl, 0:1]  # (B, 1)
-            yi = p_cols_out[isl, 1:2]
-            zi = p_cols_out[isl, 2:3]
-            gmi = p_cols_out[isl, 3:4]
-
-            def pair_terms(js):
-                xj = rows_s[0:1, js]
-                yj = rows_s[1:2, js]
-                zj = rows_s[2:3, js]
-                gmj = rows_s[3:4, js]
-                dx = xj - xi
-                dy = yj - yi
-                dz = zj - zi
-                d2 = dx * dx + dy * dy + dz * dz + eps2
-                inv = jax.lax.rsqrt(d2)
-                w = (gmi * gmj) * (inv * inv * inv)
-                return w * dx, w * dy, w * dz
-
-            px, py, pz = pair_terms(isl)  # diagonal block
-            ax = jnp.sum(px, axis=1, keepdims=True)
-            ay = jnp.sum(py, axis=1, keepdims=True)
-            az = jnp.sum(pz, axis=1, keepdims=True)
-
-            def j_body(jt, acc):
-                ax, ay, az = acc
-                js = pl.ds(jt * B, B)
-                px, py, pz = pair_terms(js)
-                ax += jnp.sum(px, axis=1, keepdims=True)
-                ay += jnp.sum(py, axis=1, keepdims=True)
-                az += jnp.sum(pz, axis=1, keepdims=True)
-                acc_rows_s[0:1, js] -= jnp.sum(px, axis=0, keepdims=True)
-                acc_rows_s[1:2, js] -= jnp.sum(py, axis=0, keepdims=True)
-                acc_rows_s[2:3, js] -= jnp.sum(pz, axis=0, keepdims=True)
-                return (ax, ay, az)
-
-            ax, ay, az = jax.lax.fori_loop(it + 1, ni, j_body, (ax, ay, az))
-            acc_s[isl, 0:1] = ax
-            acc_s[isl, 1:2] = ay
-            acc_s[isl, 2:3] = az
-            acc_s[isl, 3:8] = jnp.zeros((B, 5), f32)
-            return _
-
-        jax.lax.fori_loop(0, ni, i_body, 0)
-        acc_s[...] += jnp.transpose(acc_rows_s[...])
-        # epilogue: a = S / gm_i (zero-mass padding -> zero acceleration)
-        gm = p_cols_out[:, 3:4]
-        safe = jnp.where(gm > f32(0), gm, f32(1))
-        acc_s[:, 0:3] = jnp.where(gm > f32(0), acc_s[:, 0:3] / safe, f32(0))
-
-    sweep = sweep_sym if sym else sweep_full
+    sweep = sweep_full
 
     def move(v):
         """Drift positions by v*dt in both layouts."""
@@ -191,6 +130,151 @@ def _kernel(p_rows_in, p_cols_in, v_cols_in, p_cols_out, v_cols_out,
     if integrator == "leapfrog":
         sweep()  # seed the carried acceleration from the initial positions
     jax.lax.fori_loop(0, steps, step_body, 0)
+
+
+def _rows_kernel(p_rows_in, v_rows_in, p_out, v_out, itile_s, acc_s, *,
+                 steps, dt, block, integrator):
+    """Rows-only fused block: positions, velocities AND accelerations all
+    live as (8, N) rows for the whole multi-step block, so the integrator
+    updates are dense (3, N) elementwise ops and NO per-step relayout
+    exists.  The columns-layout variant (_kernel) keeps an (N, 8) state
+    copy whose minor-8 axis is lane-padded 8->128 by the hardware — a 16x
+    tax on every integrator op plus a full (N,3)->(3,N) transpose per
+    step; here only the per-i-tile (8,B)->(B,8) scratch transpose of the
+    pair-symmetric sweep remains (amortized over a whole row of j-tiles).
+    Pair arithmetic is identical to ops/pallas_sym.py (mass-folded,
+    diagonal unmasked), so the golden trace is preserved."""
+    n = p_rows_in.shape[1]
+    B = block
+    nb = n // B
+    f32 = jnp.float32
+    dtf = f32(dt)
+    half = f32(0.5) * dtf
+    eps2 = f32(SOFTENING_SQUARED)
+
+    p_out[...] = p_rows_in[...]
+    v_out[...] = v_rows_in[...]
+    acc_s[...] = jnp.zeros_like(acc_s)
+
+    def sweep():
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+        def i_body(it, _):
+            isl = pl.ds(it * B, B)
+            itile_s[...] = jnp.transpose(p_out[:, isl])  # (B, 8)
+            xi = itile_s[:, 0:1]
+            yi = itile_s[:, 1:2]
+            zi = itile_s[:, 2:3]
+            gmi = itile_s[:, 3:4]
+
+            def pair_terms(js):
+                xj = p_out[0:1, js]
+                yj = p_out[1:2, js]
+                zj = p_out[2:3, js]
+                gmj = p_out[3:4, js]
+                dx = xj - xi
+                dy = yj - yi
+                dz = zj - zi
+                d2 = dx * dx + dy * dy + dz * dz + eps2
+                inv = jax.lax.rsqrt(d2)
+                w = (gmi * gmj) * (inv * inv * inv)
+                return w * dx, w * dy, w * dz
+
+            px, py, pz = pair_terms(isl)  # diagonal block (dx=0 term = 0)
+            ax = jnp.sum(px, axis=1, keepdims=True)
+            ay = jnp.sum(py, axis=1, keepdims=True)
+            az = jnp.sum(pz, axis=1, keepdims=True)
+
+            def j_body(jt, acc):
+                ax, ay, az = acc
+                js = pl.ds(jt * B, B)
+                px, py, pz = pair_terms(js)
+                ax += jnp.sum(px, axis=1, keepdims=True)
+                ay += jnp.sum(py, axis=1, keepdims=True)
+                az += jnp.sum(pz, axis=1, keepdims=True)
+                acc_s[0:1, js] -= jnp.sum(px, axis=0, keepdims=True)
+                acc_s[1:2, js] -= jnp.sum(py, axis=0, keepdims=True)
+                acc_s[2:3, js] -= jnp.sum(pz, axis=0, keepdims=True)
+                return (ax, ay, az)
+
+            ax, ay, az = jax.lax.fori_loop(it + 1, nb, j_body, (ax, ay, az))
+            acc_s[0:1, isl] += jnp.transpose(ax)
+            acc_s[1:2, isl] += jnp.transpose(ay)
+            acc_s[2:3, isl] += jnp.transpose(az)
+            return _
+
+        jax.lax.fori_loop(0, nb, i_body, 0)
+        # epilogue: a = S / gm_i (zero-mass padding -> zero acceleration)
+        gm = p_out[3:4, :]
+        safe = jnp.where(gm > f32(0), gm, f32(1))
+        acc_s[0:3, :] = jnp.where(gm > f32(0), acc_s[0:3, :] / safe, f32(0))
+
+    if integrator == "euler":
+
+        def step_body(_, carry):
+            sweep()
+            v = v_out[0:3, :] + acc_s[0:3, :] * dtf
+            v_out[0:3, :] = v
+            p_out[0:3, :] += v * dtf
+            return carry
+
+    else:  # leapfrog KDK with the acceleration carried in acc_s
+
+        def step_body(_, carry):
+            v_half = v_out[0:3, :] + acc_s[0:3, :] * half  # kick
+            p_out[0:3, :] += v_half * dtf                  # drift
+            sweep()                                        # new forces
+            v_out[0:3, :] = v_half + acc_s[0:3, :] * half  # kick
+            return carry
+
+    if integrator == "leapfrog":
+        sweep()  # seed the carried acceleration from the initial positions
+    jax.lax.fori_loop(0, steps, step_body, 0)
+
+
+def _fused_block_rows(pos, vel, mass, dt, steps, block, integrator,
+                      interpret):
+    n = pos.shape[1]
+    f32 = jnp.float32
+    gm = (mass * f32(G_NEWTON)).astype(f32)
+    p_rows = jnp.concatenate(
+        [pos.astype(f32), gm[None, :], jnp.zeros((4, n), f32)], axis=0
+    )  # (8, N): xyz, gm, zeros
+    v_rows = jnp.concatenate(
+        [vel.astype(f32), jnp.zeros((5, n), f32)], axis=0
+    )
+    kernel = functools.partial(
+        _rows_kernel, steps=steps, dt=dt, block=block, integrator=integrator
+    )
+    p_out, v_out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block, 8), jnp.float32),
+            pltpu.VMEM((8, n), jnp.float32),  # acceleration accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n * n * steps,
+            bytes_accessed=4 * n * 32,
+            transcendentals=(n * n * steps) // 2,
+        ),
+        interpret=interpret,
+    )(p_rows, v_rows)
+    return p_out[0:3, :], v_out[0:3, :]
 
 
 def fused_block(
@@ -228,6 +312,14 @@ def fused_block(
             while b > 1 and n % min(b, n):
                 b //= 2
             ti = tj = min(b, n)
+        if n % ti:
+            raise ValueError(f"N={n} must be divisible by block {ti}")
+        if n > MAX_FUSED_N:
+            raise ValueError(
+                f"fused block supports N <= {MAX_FUSED_N}, got {n}"
+            )
+        return _fused_block_rows(pos, vel, mass, dt, steps, ti, integrator,
+                                 interpret)
     else:
         auto_i, auto_j = _auto_tiles(n)
         ti = min(tile_i or auto_i, n)
@@ -253,9 +345,8 @@ def fused_block(
 
     kernel = functools.partial(
         _kernel, steps=steps, dt=dt, tile_i=ti, tile_j=tj,
-        integrator=integrator, sym=sym,
+        integrator=integrator,
     )
-    pair_flops = 14 if sym else 20
     p_out, v_out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -274,15 +365,14 @@ def fused_block(
         scratch_shapes=[
             pltpu.VMEM((8, n), jnp.float32),
             pltpu.VMEM((n, 8), jnp.float32),
-            pltpu.VMEM((8, n), jnp.float32),  # sym j-side accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=pair_flops * n * n * steps,
+            flops=20 * n * n * steps,
             bytes_accessed=5 * n * 32,
-            transcendentals=(n * n * steps) // (2 if sym else 1),
+            transcendentals=n * n * steps,
         ),
         interpret=interpret,
     )(p_rows, p_cols, v_cols)
