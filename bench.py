@@ -43,8 +43,14 @@ def _suite(kernel: str) -> int:
         cfg = SimConfig(n=n, nsteps=steps, kernel=kernel,
                         precision=precision, fused=fused)
         half = max(1, steps // 2)
-        t_half = _timed_steps(cfg, half)
-        t_full = _timed_steps(cfg, 2 * half)
+        # Pin both runs to the regime the LONGER run needs: the
+        # difference method assumes identical per-step machinery, and
+        # needs_host_chunking() is step-count-dependent, so the half run
+        # must not silently use the single-executable path while the full
+        # run is host-chunked.
+        chunked = _force_chunked(cfg, 2 * half)
+        t_half = _timed_steps(cfg, half, force_chunked=chunked)
+        t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked)
         sps = half / max(t_full - t_half, 1e-9)
         print(
             json.dumps(
@@ -62,7 +68,18 @@ def _suite(kernel: str) -> int:
     return 0
 
 
-def _timed_steps(cfg, nsteps):
+def _force_chunked(cfg, nsteps) -> bool:
+    """Whether a run of ``nsteps`` uses the host-chunked regime (decided
+    once per difference-timing pair so both runs share the machinery)."""
+    from nbody_tpu.models.gravity import needs_host_chunking
+    from nbody_tpu.state import round_up
+
+    if cfg.shards > 1 or getattr(cfg, "fused", False):
+        return False
+    return needs_host_chunking(round_up(cfg.n, cfg.pad_multiple()), nsteps)
+
+
+def _timed_steps(cfg, nsteps, force_chunked=None):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import (
@@ -86,7 +103,8 @@ def _timed_steps(cfg, nsteps):
         )
     elif getattr(cfg, "fused", False):
         blk = make_fused_block_fn(cfg.dt, nsteps)
-    elif needs_host_chunking(state.n_padded, nsteps):
+    elif (needs_host_chunking(state.n_padded, nsteps)
+          if force_chunked is None else force_chunked):
         blk = make_host_chunked_block_fn(
             cfg.dt, nsteps, state.n_padded,
             accel_fn=make_accel_fn(cfg.kernel, **cfg.kernel_opts()),
@@ -179,8 +197,9 @@ def main() -> int:
     # reports the device's true sustained rate — the number that matters
     # for production serving, where results stay on device.
     half = max(1, args.steps // 2)
-    t_half = _timed_steps(cfg, half)
-    t_full = _timed_steps(cfg, 2 * half)
+    chunked = _force_chunked(cfg, 2 * half)
+    t_half = _timed_steps(cfg, half, force_chunked=chunked)
+    t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked)
     steps_per_sec = half / max(t_full - t_half, 1e-9)
 
     value = step_gflops(args.n) * steps_per_sec

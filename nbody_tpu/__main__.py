@@ -150,7 +150,13 @@ def main(argv=None) -> int:
             or os.environ.get("NBODY_NUM_PROCESSES")
             or 1
         )
-        local = max(1, args.shards // max(1, nprocs))
+        nprocs = max(1, nprocs)
+        if args.shards > 1 and args.shards % nprocs:
+            raise SystemExit(
+                f"--shards {args.shards} must be divisible by the process "
+                f"count {nprocs} (each process hosts shards/nprocs devices)"
+            )
+        local = max(1, args.shards // nprocs)
         force_cpu(local if args.shards > 1 else None)
     cfg = SimConfig(
         n=args.n, nsteps=args.nsteps, dt=args.dt, sfreq=args.sfreq,
@@ -170,16 +176,20 @@ def main(argv=None) -> int:
         snapshot_every=args.snapshot_every, snapshot_dir=args.snapshot_dir,
     )
     sim = Simulation(cfg)
+    # Establish rank/size FIRST so the echo and the cpu_ratio note below
+    # are rank-0-gated under multi-process runs (the reference gates all
+    # output on world_rank == 0, ver5_all/GSimulation.cpp:119).
+    sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)
     if args.device is not None:
         # The reference echoes the token then maps it onto the device
         # selector (ver5_all/main.cpp:42-45: cpu=1, gpu=2, cpu+gpu=3).
-        print(args.device)
+        if sim.world_rank == 0:
+            print(args.device)
         selector = {"cpu": 1, "gpu": 2, "tpu": 2, "cpu+gpu": 3}.get(args.device)
         if selector is not None:
             sim.set_devices(selector)
     if args.cpu_ratio is not None:
         sim.set_cpu_ratio(args.cpu_ratio)
-    sim.init_mpi()  # no-op single-host (ver5_all/main.cpp:57 analog)
     result = sim.start()
     if args.json:
         import json

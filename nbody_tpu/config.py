@@ -85,7 +85,11 @@ class SimConfig:
 
         resolved = resolve(self.kernel)
         opts = {}
-        if resolved in ("pallas", "pallas_mxu", "pallas_sym"):
+        # The rdma / ring_sym comm modes run Pallas kernels regardless of
+        # the resolved self-kernel (e.g. kernel=auto resolving to naive on
+        # CPU), so their tile/interpret options must flow through too.
+        pallas_comm = self.shards > 1 and self.comm in ("rdma", "ring_sym")
+        if resolved in ("pallas", "pallas_mxu", "pallas_sym") or pallas_comm:
             if self.tile_i:
                 opts["tile_i"] = self.tile_i
             if self.tile_j:

@@ -300,7 +300,11 @@ def fused_block(
         raise ValueError(f"unknown integrator {integrator!r}")
     n = pos.shape[1]
     if sym is None:
-        sym = not (tile_i and tile_j and tile_i != tile_j)
+        # Auto: rows-sym unless the caller asked for a tiling the sym
+        # sweep cannot honor — a rectangular (ti != tj) pair, or a
+        # tile_j-only request (sym blocks are square and keyed on tile_i,
+        # so a lone tile_j would be silently discarded).
+        sym = not tile_j or tile_i == tile_j
     if sym:
         if tile_i:
             ti = tj = min(tile_i, n)

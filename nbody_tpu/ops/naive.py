@@ -70,5 +70,11 @@ def accelerations_between(
 
 
 def accelerations(pos: jax.Array, mass: jax.Array, **opts) -> jax.Array:
-    """All-pairs self-accelerations. pos (3,N), mass (N,) -> (3,N)."""
+    """All-pairs self-accelerations. pos (3,N), mass (N,) -> (3,N).
+
+    Pallas-specific registry options (tiles, interpret) are accepted and
+    ignored so ``naive`` is drop-in wherever a kernel name is configurable.
+    """
+    for k in ("tile_i", "tile_j", "interpret", "block"):
+        opts.pop(k, None)
     return accelerations_between(pos, pos, mass, **opts)

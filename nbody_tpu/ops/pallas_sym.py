@@ -53,6 +53,15 @@ DEFAULT_BLOCK = 1024
 MAX_SYM_N = 1048576
 
 
+def auto_block(n: int) -> int:
+    """VMEM-aware default block size for a padded particle count ``n``.
+
+    v5e VMEM is 128 MB; the (8,N) in+out residency costs 64*N bytes and
+    the b=1024 pair intermediates spill ~64 MB, so huge N drops to b=512
+    (~16 MB of spills) to stay inside the chip."""
+    return DEFAULT_BLOCK if 64 * n <= 48 * 2**20 else 512
+
+
 def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
                 mxu_reduce=False):
     f32 = jnp.float32
@@ -300,10 +309,7 @@ def accelerations(
                          "for the bf16 distance mode)")
     n = pos.shape[1]
     if not (block or tile_i):
-        # v5e VMEM is 128 MB; the (8,N) in+out residency costs 64*N bytes
-        # and the b=1024 pair intermediates spill ~64 MB, so huge N drops
-        # to b=512 (~16 MB of spills) to stay inside the chip.
-        block = DEFAULT_BLOCK if 64 * n <= 48 * 2**20 else 512
+        block = auto_block(n)
     b = min(block or tile_i, n)
     if n % b:
         raise ValueError(f"N={n} must be divisible by block={b}")

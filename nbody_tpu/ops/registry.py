@@ -88,7 +88,10 @@ def _auto_self(pos, mass, **opts):
 
     n = pos.shape[1]
     opts = dict(opts)
-    block = opts.pop("block", 0) or opts.get("tile_i", 0) or pallas_sym.DEFAULT_BLOCK
+    # Honor an explicit block/tile_i; otherwise use pallas_sym's VMEM-aware
+    # auto pick (b=512 above ~786k) so huge-N auto dispatch stays inside
+    # the 128 MB v5e VMEM instead of forcing DEFAULT_BLOCK.
+    block = opts.pop("block", 0) or opts.get("tile_i", 0) or pallas_sym.auto_block(n)
     if (
         jax.default_backend() == "tpu"
         and jnp.dtype(opts.get("dist_dtype", "float32")) == jnp.float32

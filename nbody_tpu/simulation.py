@@ -228,9 +228,16 @@ class _DeviceRunner(_BlockRunner):
         # warm-up does not advance the simulation.  The scalar fetch is the
         # sync point — on tunneled backends block_until_ready alone does
         # not guarantee the executable has finished building/running.
-        main = self._block_for(min(cfg.sfreq, cfg.nsteps))
-        _, ke = main(state)
-        float(ke)
+        while True:
+            try:
+                main = self._block_for(min(cfg.sfreq, cfg.nsteps))
+                _, ke = main(state)
+                float(ke)
+                break
+            except Exception:
+                if not self._online or self._online["locked"]:
+                    raise
+                self._discard_candidate()  # first candidate failed; skip it
 
     def _cached(self, steps: int, build: Callable):
         # Keyed by tiles too: the online retuner switches tile configs
@@ -243,6 +250,19 @@ class _DeviceRunner(_BlockRunner):
     def _set_tiles(self, tiles) -> None:
         self.cfg.tile_i, self.cfg.tile_j = tiles
         self.accel_fn = make_accel_fn(self.cfg.kernel, **self.cfg.kernel_opts())
+
+    def _discard_candidate(self) -> None:
+        """Drop the online retuner's current candidate (it failed to
+        compile/run — e.g. tiles whose pair intermediates exceed VMEM)
+        and move to the next, or lock in the best-so-far."""
+        ol = self._online
+        del ol["cands"][ol["idx"]]
+        ol["warmed"] = False
+        if ol["idx"] < len(ol["cands"]):
+            self._set_tiles(ol["cands"][ol["idx"]])
+        else:
+            ol["locked"] = True
+            self._set_tiles(min(ol["results"])[1] if ol["results"] else (0, 0))
 
     def observe(self, block_secs: float) -> None:
         """Online per-block retuning (the reference's OpenCL tuner adjusts
@@ -265,12 +285,27 @@ class _DeviceRunner(_BlockRunner):
             self._set_tiles(min(ol["results"])[1])
 
     def run_block(self, steps: int) -> float:
-        fn = self._block_for(steps)
-        self.state, ke = fn(self.state)
-        # float() forces a device->host fetch of the block's final kinetic
-        # energy — the once-per-block sync point (ver0 reads _kenergy on the
-        # host every step; our block runs sfreq steps between syncs).
-        return float(ke)
+        while True:
+            try:
+                fn = self._block_for(steps)
+                state, ke = fn(self.state)
+                # float() forces a device->host fetch of the block's final
+                # kinetic energy — the once-per-block sync point (ver0 reads
+                # _kenergy on the host every step; our block runs sfreq
+                # steps between syncs).  The fetch is also where remote
+                # compile failures surface, so it stays inside the retry.
+                ke = float(ke)
+            except Exception:
+                ol = self._online
+                if not ol or ol["locked"]:
+                    raise
+                # An online-retune candidate failed (e.g. a tile config
+                # whose VMEM footprint the compiler rejects): state never
+                # advanced, so skip the candidate and rerun the block.
+                self._discard_candidate()
+                continue
+            self.state = state
+            return ke
 
     def total_energy(self) -> float:
         from .models.gravity import kinetic_energy, potential_energy

@@ -146,3 +146,46 @@ def test_autotune_online_cycles_and_locks(monkeypatch):
               quiet=True)
     for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
         assert s == s_r and abs(ke - ke_r) <= 1e-5 * max(abs(ke_r), 1e-9)
+
+
+def test_autotune_online_skips_failing_candidate(monkeypatch):
+    """A candidate that fails to compile/run mid-sweep (the VMEM-overflow
+    case on hardware, e.g. forward_sym (2048,2048)) is discarded and the
+    run completes with the surviving candidates."""
+    from nbody_tpu.ops import pallas_kernel, registry
+
+    real = pallas_kernel.accelerations
+
+    def flaky(pos, mass, **opts):
+        if opts.get("tile_i") == 32:
+            raise RuntimeError("synthetic compile failure")
+        return real(pos, mass, **opts)
+
+    monkeypatch.setitem(
+        registry._REGISTRY, "pallas",
+        (flaky, pallas_kernel.accelerations_between),
+    )
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "forward", ((32, 64), (64, 64))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=250, sfreq=50, kernel="pallas",
+                    interpret=True, autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    assert (cfg.tile_i, cfg.tile_j) == (64, 64)  # survivor locked in
+
+    ref = run(SimConfig(n=128, nsteps=250, sfreq=50, kernel="naive"),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r and abs(ke - ke_r) <= 1e-5 * max(abs(ke_r), 1e-9)
+
+
+def test_fused_candidates_include_sym():
+    """The fused sweep must be able to pick the rows-sym kernel (square
+    tiles select it); an all-rectangular list would lock autotuned runs
+    out of the 1.34x default path."""
+    assert any(ti == tj for ti, tj in autotune.DEFAULT_CANDIDATES["fused"])
+    assert any(ti != tj for ti, tj in autotune.DEFAULT_CANDIDATES["fused"])

@@ -69,6 +69,35 @@ def test_thread_dims_map_to_tiles():
     assert "tile_i" not in cfg.kernel_opts()
 
 
+def test_pallas_comm_modes_carry_interpret():
+    """--comm ring_sym / rdma run Pallas kernels regardless of the
+    resolved self-kernel, so --interpret (and tiles) must flow through
+    even when kernel=naive/auto-on-CPU (r2 review fix)."""
+    from nbody_tpu.config import SimConfig
+
+    for comm in ("ring_sym", "rdma"):
+        cfg = SimConfig(kernel="naive", shards=4, comm=comm,
+                        interpret=True, tile_i=64)
+        opts = cfg.kernel_opts()
+        assert opts.get("interpret") is True, comm
+        assert opts.get("tile_i") == 64, comm
+    # single-device runs don't leak pallas opts into the naive kernel
+    cfg = SimConfig(kernel="naive", interpret=True)
+    assert "interpret" not in cfg.kernel_opts()
+
+
+def test_shards_process_divisibility_guard(monkeypatch):
+    """--shards not divisible by the process count must fail fast with a
+    clear message, not a confusing global-mesh device-count error."""
+    import pytest as _pytest
+
+    from nbody_tpu.__main__ import main
+
+    monkeypatch.setenv("NBODY_NUM_PROCESSES", "3")
+    with _pytest.raises(SystemExit, match="divisible"):
+        main(["128", "1", "--shards", "8", "--platform", "cpu"])
+
+
 def test_mxu_rejects_bf16():
     import numpy as np
     import pytest as _pytest

@@ -49,6 +49,25 @@ def test_fused_leapfrog_matches_unfused():
                                rtol=1e-6, atol=1e-10)
 
 
+def test_fused_tile_j_only_is_honored():
+    """A tile_j-only request (the reference's dim1 arg) must reach the
+    legacy columns kernel, not be silently discarded by the sym auto
+    (r2 review fix).  Physics must match either way."""
+    state = make_state(256)
+    p, v = fused_block(
+        state.pos, state.vel, state.mass, 0.1, 6, tile_j=64, interpret=True,
+    )
+    blk = make_block_fn(make_accel_fn("naive"), 0.1, 6)
+    want, _ = blk(state)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(want.pos),
+                               rtol=1e-6, atol=1e-8)
+    # discriminator: a non-dividing tile_j must be rejected by the legacy
+    # path (the old sym auto silently swallowed it)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_block(state.pos, state.vel, state.mass, 0.1, 1, tile_j=96,
+                    interpret=True)
+
+
 def test_fused_size_guard():
     state = make_state(MAX_FUSED_N + 512)
     with pytest.raises(ValueError):
