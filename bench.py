@@ -74,7 +74,7 @@ def _force_chunked(cfg, nsteps) -> bool:
     from nbody_tpu.models.gravity import needs_host_chunking
     from nbody_tpu.state import round_up
 
-    if cfg.shards > 1 or getattr(cfg, "fused", False):
+    if cfg.shards > 1 or getattr(cfg, "fused", False) or cfg.kernel == "pm":
         return False
     return needs_host_chunking(round_up(cfg.n, cfg.pad_multiple()), nsteps)
 

@@ -7,7 +7,9 @@ token is echoed to stdout, cpu_ratio is accepted for CLI parity, and the
 thread dims map onto kernel tile sizes).
 
 TPU-native options replace the reference's compile-time #define matrix:
-    --kernel {naive,pallas,pallas_mxu,auto}  force-kernel backend (ARCH= analog)
+    --kernel {naive,pallas,pallas_sym,pallas_mxu,pm,auto}  force-kernel
+                                   backend (ARCH= analog); pm = O(N log N)
+                                   mesh solver (--pm-grid), approximate
     --precision {f32,bf16,ref64}   numeric mode (ref64 = bit-exact oracle)
     --integrator {euler,leapfrog}  parity default / symplectic option
     --shards K --comm {allgather,ring,rdma}  GSPMD particle decomposition
@@ -46,7 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dim1", nargs="?", type=int, default=0)
     p.add_argument("--kernel", default="auto",
                    choices=["naive", "pallas", "pallas_sym", "pallas_mxu",
-                            "auto"])
+                            "pm", "auto"])
+    p.add_argument("--pm-grid", type=int, default=0, metavar="NG",
+                   help="particle-mesh grid points per axis for "
+                        "--kernel pm (default 128; O(N log N) approximate "
+                        "far-field tier)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
@@ -163,7 +169,8 @@ def main(argv=None) -> int:
         integrator=args.integrator, distribution=args.distribution,
         seed=args.seed, energy_check=args.energy_check,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
-        tile_j=args.tile_j or args.dim1, autotune=args.autotune,
+        tile_j=args.tile_j or args.dim1, pm_grid=args.pm_grid,
+        autotune=args.autotune,
         autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,
         precision=args.precision,

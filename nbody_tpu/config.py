@@ -24,9 +24,10 @@ class SimConfig:
     energy_check: bool = False  # report total-energy drift (KE+PE) at end
 
     # Kernel selection (the ver5_all ARCH= backend seam, runtime-switchable).
-    kernel: str = "auto"  # naive | pallas | auto
+    kernel: str = "auto"  # naive | pallas | pallas_sym | pm | auto
     tile_i: int = 0  # 0 = kernel default
     tile_j: int = 0
+    pm_grid: int = 0  # particle-mesh grid per axis (0 = kernel default)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -96,6 +97,8 @@ class SimConfig:
                 opts["tile_j"] = self.tile_j
             if self.interpret:
                 opts["interpret"] = True
+        if resolved == "pm" and self.pm_grid:
+            opts["grid"] = self.pm_grid
         if self.precision == "bf16":
             opts["dist_dtype"] = "bfloat16"
         return opts
@@ -110,7 +113,7 @@ class SimConfig:
         ti = self.tile_i or DEFAULT_TILE_I
         tj = self.tile_j or DEFAULT_TILE_J
         resolved = resolve(self.kernel)
-        if resolved == "naive":
+        if resolved in ("naive", "pm"):
             ti = tj = 1
         elif resolved == "pallas_sym":
             from .ops.pallas_sym import DEFAULT_BLOCK

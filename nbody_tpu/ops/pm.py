@@ -1,0 +1,202 @@
+"""Particle-mesh (PM) force solver — the O(N log N) scaling tier above
+the exact all-pairs kernels.
+
+The reference is exact O(N^2) everywhere (ver0/GSimulation.cpp:130-150);
+this module adds the standard mesh-based far-field solver as one more
+entry in the kernel registry (the ver5_all backend seam, ops/registry.py)
+so huge-N runs can trade bounded force error for an asymptotic win:
+
+    a(x_i) = G * sum_j m_j * f(x_j - x_i),   f(r) = r / (|r|^2 + eps^2)^{3/2}
+
+is a convolution of the mass field with the fixed Plummer-softened force
+kernel f.  The method (Hockney & Eastwood's isolated-boundary PM):
+
+1. **CIC deposit** — trilinear (cloud-in-cell) scatter of particle masses
+   onto an ``ng^3`` grid spanning the particles' bounding box.
+2. **FFT convolution on a doubled grid** — zero-pad to ``(2 ng)^3`` so the
+   circular convolution equals the open-boundary one (vacuum boundaries,
+   like the reference — NOT periodic), multiply the mass spectrum by the
+   spectra of the three antisymmetric force-kernel components sampled on
+   the same grid, and inverse-transform to per-axis acceleration grids.
+3. **CIC gather** — trilinear interpolation of the acceleration grids
+   back at each particle position.
+
+Why this is a good fit for the reference's force law: the softening
+eps = sqrt(1e-3) ~ 0.032 is LARGE compared to a 128-grid spacing of the
+unit initial box (h ~ 0.008), so the pair force is smooth on the grid
+scale and the only error source is the CIC smoothing of sub-cell
+positions — measured ~1e-2 relative L2 force error at ng=128 (see
+tests/test_pm.py and docs/DESIGN.md "Particle-mesh tier").
+
+Structural properties (all tested):
+* **Exact momentum conservation**: deposit and gather use the same CIC
+  weights and the sampled kernel is exactly antisymmetric, so the
+  discrete pair force between any two cloud cells cancels its reaction.
+* **Exactly zero self-force**: a particle's own symmetric CIC cloud
+  convolved with the antisymmetric kernel evaluates to zero at the
+  particle (same reason the reference's unmasked diagonal is zero).
+* **Zero-mass padding is force- and energy-neutral** (weight 0).
+
+TPU mapping: the whole step is jnp — XLA batches the 8-corner scatter
+(deposit) and gather, and the six ``rfftn``/``irfftn`` transforms run as
+native XLA FFTs; there is nothing for a hand-written Pallas kernel to
+beat here since FFT butterflies and scatters are memory-bound host-library
+territory, not VPU pair math.  The kernel spectra depend on the current
+bounding box, so they are rebuilt inside the same jit (3 extra forward
+FFTs) — no host round-trip, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..types import G_NEWTON, SOFTENING_SQUARED
+
+DEFAULT_GRID = 128
+
+
+def _cic_weights(pos, lo, inv_h, ng):
+    """Grid coordinates and trilinear corner weights for pos (3, N).
+
+    Returns (i0 (3,N) int32 lower-corner indices in [0, ng-2],
+    frac (3,N) f32 in [0,1])."""
+    # Clip in FLOAT first: far-away padding particles (state.pad_state's
+    # 1e6 diagonal) produce grid coords way past int32 range, and
+    # float->int conversion of out-of-range values is undefined in XLA.
+    g = jnp.clip((pos - lo) * inv_h, 0.0, float(ng - 1))
+    i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, ng - 2)
+    frac = jnp.clip(g - i0.astype(jnp.float32), 0.0, 1.0)
+    return i0, frac
+
+
+def _corner_iter(i0, frac):
+    """The 8 CIC corners: yields (flat-ish index triple, weight (N,))."""
+    for cx in (0, 1):
+        wx = frac[0] if cx else 1.0 - frac[0]
+        for cy in (0, 1):
+            wy = frac[1] if cy else 1.0 - frac[1]
+            for cz in (0, 1):
+                wz = frac[2] if cz else 1.0 - frac[2]
+                yield (i0[0] + cx, i0[1] + cy, i0[2] + cz), wx * wy * wz
+
+
+def _deposit(pos, mass, lo, inv_h, ng):
+    """CIC scatter of masses onto an (ng, ng, ng) f32 grid."""
+    i0, frac = _cic_weights(pos, lo, inv_h, ng)
+    grid = jnp.zeros((ng, ng, ng), jnp.float32)
+    for (ix, iy, iz), w in _corner_iter(i0, frac):
+        grid = grid.at[ix, iy, iz].add(mass * w)
+    return grid
+
+
+def _gather(grids, pos, lo, inv_h, ng):
+    """CIC interpolation of 3 (ng,ng,ng) grids at pos (3,N) -> (3,N)."""
+    i0, frac = _cic_weights(pos, lo, inv_h, ng)
+    out = jnp.zeros((3, pos.shape[1]), jnp.float32)
+    for (ix, iy, iz), w in _corner_iter(i0, frac):
+        out = out + w * grids[:, ix, iy, iz]
+    return out
+
+
+def _force_kernel_spectra(h, ng):
+    """rfftn spectra of the three Plummer-softened force-kernel components
+    sampled on the doubled (2ng)^3 grid with signed wraparound
+    displacements (Hockney open-boundary convolution kernel).
+
+    ``h`` is the (3,) per-axis grid spacing (traced — the kernel follows
+    the particles' bounding box)."""
+    m = 2 * ng
+    idx = jnp.arange(m)
+    # signed displacement in cells: 0..ng-1, then the negative half
+    d = jnp.where(idx < ng, idx, idx - m).astype(jnp.float32)
+    rx = (d * h[0])[:, None, None]
+    ry = (d * h[1])[None, :, None]
+    rz = (d * h[2])[None, None, :]
+    r2 = rx * rx + ry * ry + rz * rz + jnp.float32(SOFTENING_SQUARED)
+    u = jax.lax.rsqrt(r2)
+    u3 = u * u * u  # 1 / (r^2 + eps^2)^{3/2}
+    return (
+        jnp.fft.rfftn(rx * u3),
+        jnp.fft.rfftn(ry * u3),
+        jnp.fft.rfftn(rz * u3),
+    )
+
+
+def _bbox(pos, mass):
+    """Mass-weighted bounding box (lo (3,1), span (3,1)).
+
+    Zero-mass padding particles are EXCLUDED: the state convention parks
+    them on a far-away diagonal (state.pad_state), and letting them into
+    the box would dilate the grid spacing by orders of magnitude and
+    destroy the solve's resolution for the real particles.  Degenerate
+    axes (all particles coplanar) get a floor so spacing stays positive."""
+    real = mass[None, :] > 0
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(real, pos, big), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(real, pos, -big), axis=1, keepdims=True)
+    span = jnp.maximum(hi - lo, jnp.float32(1e-6))
+    return lo, span
+
+
+def accelerations_between(
+    pos_tgt: jax.Array,
+    pos_src: jax.Array,
+    mass_src: jax.Array,
+    grid: int = DEFAULT_GRID,
+    **_opts,
+) -> jax.Array:
+    """Mesh-solved accelerations of targets due to sources.
+
+    pos_tgt (3, Nt), pos_src (3, Ns), mass_src (Ns,) -> (3, Nt) f32.
+    The grid spans the MASSIVE sources' bounding box (zero-mass padding
+    is excluded so it cannot dilate the resolution); targets outside it
+    are clamped to the edge cells during the gather — finite but
+    edge-valued forces, which only ever applies to padding particles in
+    this framework's workloads.  Extra registry options (tiles,
+    interpret, dist_dtype) are accepted and ignored — the solver is fp32
+    and has no Pallas tiling."""
+    ng = int(grid)
+    f32 = jnp.float32
+    pos_tgt = pos_tgt.astype(f32)
+    pos_src = pos_src.astype(f32)
+    lo, span = _bbox(pos_src, mass_src)
+    # ng-3 usable cells: one margin cell each side plus the CIC upper corner.
+    h = (span / f32(ng - 3))[:, 0]  # (3,)
+    inv_h = 1.0 / h[:, None]
+    lo = lo - h[:, None]  # one-cell margin
+
+    rho = _deposit(pos_src, mass_src.astype(f32), lo, inv_h, ng)
+    m = 2 * ng
+    rho_hat = jnp.fft.rfftn(rho, s=(m, m, m))
+    kx, ky, kz = _force_kernel_spectra(h, ng)
+    # a(c) = sum_{c'} rho(c') f(c' - c) = -(rho * f)(c) for antisymmetric f
+    acc_grids = jnp.stack([
+        -jnp.fft.irfftn(rho_hat * kx, s=(m, m, m))[:ng, :ng, :ng],
+        -jnp.fft.irfftn(rho_hat * ky, s=(m, m, m))[:ng, :ng, :ng],
+        -jnp.fft.irfftn(rho_hat * kz, s=(m, m, m))[:ng, :ng, :ng],
+    ])
+    acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
+    return (acc * f32(G_NEWTON)).astype(f32)
+
+
+def accelerations(
+    pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID, **_opts
+) -> jax.Array:
+    """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N)."""
+    return accelerations_between(pos, pos, mass, grid=grid)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def force_error_vs_exact(pos, mass, grid: int = DEFAULT_GRID):
+    """Relative L2 force error of the mesh solve vs the exact all-pairs
+    kernel (diagnostic used by tests and docs measurements)."""
+    from . import naive
+
+    a_pm = accelerations(pos, mass, grid=grid)
+    a_ref = naive.accelerations(pos, mass)
+    num = jnp.sqrt(jnp.sum((a_pm - a_ref) ** 2))
+    den = jnp.sqrt(jnp.sum(a_ref ** 2))
+    return num / jnp.maximum(den, 1e-30)

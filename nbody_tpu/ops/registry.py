@@ -11,8 +11,10 @@ Registered kernels:
 * ``pallas_sym`` — pair-symmetric sweep, each unordered pair once
   (~1.38x measured over ``pallas``; fp32, N <= MAX_SYM_N)
 * ``pallas_mxu`` — documented negative result (docs/DESIGN.md)
-* ``auto``       — best self-kernel for the backend/shape at trace time
-  (TPU: pallas_sym when eligible, else pallas; elsewhere naive)
+* ``pm``         — particle-mesh FFT solver, O(N log N) approximate
+  far-field tier (opt-in; never chosen by ``auto``)
+* ``auto``       — best EXACT self-kernel for the backend/shape at trace
+  time (TPU: pallas_sym when eligible, else pallas; elsewhere naive)
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from typing import Callable, Dict
 
 import jax
 
-from . import naive, pallas_kernel, pallas_mxu, pallas_sym
+from . import naive, pallas_kernel, pallas_mxu, pallas_sym, pm
 
 KernelFn = Callable[..., jax.Array]
 
@@ -110,3 +112,6 @@ register("pallas_mxu", pallas_mxu.accelerations, pallas_mxu.accelerations_betwee
 # Pair-symmetric self-sweep; target/source pairs have no symmetry to
 # exploit, so the between form delegates to the standard tiled kernel.
 register("pallas_sym", pallas_sym.accelerations, pallas_sym.accelerations_between)
+# Mesh-based O(N log N) far-field solver (opt-in: approximate, so `auto`
+# never selects it — the exact pair kernels are the parity surface).
+register("pm", pm.accelerations, pm.accelerations_between)

@@ -198,7 +198,11 @@ class _DeviceRunner(_BlockRunner):
             )
 
             def build(steps):
-                if needs_host_chunking(state.n_padded, steps):
+                # The mesh solver is O(ng^3 log ng + N) per step — never
+                # near the executable watchdog, and the chunked pair-sweep
+                # fallbacks would silently replace it with exact kernels.
+                if resolved != "pm" and needs_host_chunking(
+                        state.n_padded, steps):
                     # Huge N: the single-executable block would trip the
                     # runtime watchdog; orchestrate short executables from
                     # the host (pair-symmetric chunk sweeps when the

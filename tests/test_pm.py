@@ -1,0 +1,146 @@
+"""Particle-mesh solver (ops/pm.py): accuracy vs the exact kernels and
+the structural invariants (momentum, self-force, padding neutrality).
+
+The PM tier is approximate by construction, so there is no golden-trace
+gate here — the contract is bounded force error against the exact
+all-pairs law plus exactly-conserved momentum (reference force law:
+ver0/GSimulation.cpp:130-150; softening makes it smooth on the grid
+scale, which is what the error bound rests on).
+"""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.init import make_state
+from nbody_tpu.ops import naive, pm
+
+
+def _random_system(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.asarray(rng.random((3, n)), np.float32)
+    mass = np.asarray(n * rng.random(n), np.float32)
+    return pos, mass
+
+
+def test_pm_force_accuracy_vs_naive():
+    """Relative L2 force error small at ng=64 for a unit-box cloud (the
+    softening eps~0.032 spans ~2 cells, so CIC smoothing is the only
+    error source)."""
+    pos, mass = _random_system(2048)
+    err = float(pm.force_error_vs_exact(pos, mass, 64))
+    assert err < 0.05, err
+
+
+def test_pm_error_shrinks_with_grid():
+    pos, mass = _random_system(1024, seed=3)
+    e32 = float(pm.force_error_vs_exact(pos, mass, 32))
+    e64 = float(pm.force_error_vs_exact(pos, mass, 64))
+    assert e64 < e32
+
+
+def test_pm_momentum_exactly_conserved():
+    """Same CIC kernel both ways + antisymmetric force kernel => the
+    discrete momentum flux cancels pairwise (sum m*a ~ 0 to rounding)."""
+    pos, mass = _random_system(1024, seed=1)
+    acc = np.asarray(pm.accelerations(pos, mass, grid=32))
+    p_dot = (mass * acc).sum(axis=1)
+    scale = np.abs(mass[None, :] * acc).sum(axis=1) + 1e-30
+    assert np.all(np.abs(p_dot) / scale < 1e-4), p_dot / scale
+
+
+def test_pm_self_force_zero():
+    """A lone particle exerts no force on itself (symmetric cloud x
+    antisymmetric kernel)."""
+    pos = np.array([[0.37], [0.81], [0.24]], np.float32)
+    mass = np.array([5.0], np.float32)
+    acc = np.asarray(pm.accelerations(pos, mass, grid=32))
+    assert np.all(np.abs(acc) < 1e-4), acc
+
+
+def test_pm_zero_mass_padding_neutral():
+    """Padding sits on a FAR-AWAY diagonal (state.pad_state); the
+    mass-aware bounding box must ignore it, so the real particles' forces
+    are bit-identical with or without padding and everything stays
+    finite."""
+    pos, mass = _random_system(512, seed=2)
+    acc = np.asarray(pm.accelerations(pos, mass, grid=32))
+    pos2 = np.concatenate(
+        [pos, 1e6 + np.tile(np.arange(64, dtype=np.float32), (3, 1))], axis=1
+    )
+    mass2 = np.concatenate([mass, np.zeros(64, np.float32)])
+    acc2 = np.asarray(pm.accelerations(pos2, mass2, grid=32))
+    np.testing.assert_array_equal(acc2[:, :512], acc)
+    assert np.isfinite(acc2).all()
+    # and through the real IC/padding machinery
+    state = make_state(500, pad_multiple=256)
+    acc_p = np.asarray(pm.accelerations(state.pos, state.mass, grid=32))
+    unpadded = np.asarray(
+        pm.accelerations(state.pos[:, :500], state.mass[:500], grid=32)
+    )
+    np.testing.assert_array_equal(acc_p[:, :500], unpadded)
+
+
+def test_pm_between_matches_naive_between():
+    pos_t, mass_t = _random_system(256, seed=4)
+    pos_s, mass_s = _random_system(512, seed=5)
+    del mass_t
+    a_pm = np.asarray(
+        pm.accelerations_between(pos_t, pos_s, mass_s, grid=64)
+    )
+    a_ref = np.asarray(naive.accelerations_between(pos_t, pos_s, mass_s))
+    err = np.linalg.norm(a_pm - a_ref) / np.linalg.norm(a_ref)
+    assert err < 0.05, err
+
+
+def test_pm_engine_run():
+    """--kernel pm end-to-end through the engine: finite trace, energy
+    in the right ballpark of the exact run."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    res = run(SimConfig(n=512, nsteps=100, kernel="pm", pm_grid=32),
+              quiet=True)
+    ref = run(SimConfig(n=512, nsteps=100, kernel="naive"), quiet=True)
+    assert len(res.samples) == 2
+    for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r
+        assert np.isfinite(ke)
+        assert abs(ke - ke_r) < 0.2 * abs(ke_r) + 1e-6, (s, ke, ke_r)
+
+
+def test_pm_kernel_opts_wiring():
+    from nbody_tpu.config import SimConfig
+
+    cfg = SimConfig(kernel="pm", pm_grid=48)
+    assert cfg.kernel_opts().get("grid") == 48
+    assert cfg.pad_multiple() == 1
+    # other kernels never receive the pm grid option
+    assert "grid" not in SimConfig(kernel="pallas", pm_grid=48).kernel_opts()
+
+
+def test_pm_registry_entry():
+    from nbody_tpu.ops import registry
+
+    assert "pm" in registry.available()
+    # auto never resolves to the approximate tier
+    assert registry.resolve("auto", n=4096) != "pm"
+
+
+def test_pm_sharded_allgather_only():
+    """Sharded pm matches single-device under allgather; ring modes are
+    rejected (a streamed source block's box does not cover remote
+    targets)."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.parallel.decompose import make_sharded_block_fn
+    from nbody_tpu.parallel.mesh import make_mesh
+    from nbody_tpu.simulation import run
+
+    res = run(SimConfig(n=512, nsteps=50, kernel="pm", pm_grid=32,
+                        shards=4, comm="allgather"), quiet=True)
+    ref = run(SimConfig(n=512, nsteps=50, kernel="pm", pm_grid=32),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
+        assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)
+
+    with pytest.raises(ValueError, match="allgather"):
+        make_sharded_block_fn("pm", {}, 0.1, 5, make_mesh(4), comm="ring")
