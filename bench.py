@@ -25,13 +25,18 @@ REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
 # fused).  Small-N configs use long step counts so the timing signal
 # dominates per-run jitter (~tens of ms on tunneled backends); the rate is
 # steady-state either way.
+# (name, precision, N, timed steps, fused, kernel-override).  A None
+# kernel uses the --kernel argument; the pm rows pin the O(N log N) mesh
+# tier, whose gflops_model/pairs_per_sec report EQUIVALENT exact-model
+# work per second (the mesh solve does O(ng^3 log ng + N) actual work).
 SUITE = (
-    ("parity-n2000", "f32", 2000, 20000, False),
-    ("parity-n2000-fused", "f32", 2000, 20000, True),
-    ("single-chip-n16384", "f32", 16384, 500, False),
-    ("bf16-n131072", "bf16", 131072, 100, False),
-    ("n1m", "f32", 1048576, 4, False),
-    ("n4m", "f32", 4194304, 2, False),  # host-chunked executables
+    ("parity-n2000", "f32", 2000, 20000, False, None),
+    ("parity-n2000-fused", "f32", 2000, 20000, True, None),
+    ("single-chip-n16384", "f32", 16384, 500, False, None),
+    ("bf16-n131072", "bf16", 131072, 100, False, None),
+    ("n1m", "f32", 1048576, 4, False, None),
+    ("n4m", "f32", 4194304, 2, False, None),  # host-chunked executables
+    ("n4m-pm-equivalent", "f32", 4194304, 8, False, "pm"),
 )
 
 
@@ -39,8 +44,8 @@ def _suite(kernel: str) -> int:
     from nbody_tpu.config import SimConfig
     from nbody_tpu.utils.flops import pairs_per_step, step_gflops
 
-    for name, precision, n, steps, fused in SUITE:
-        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel,
+    for name, precision, n, steps, fused, kernel_pin in SUITE:
+        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel_pin or kernel,
                         precision=precision, fused=fused)
         half = max(1, steps // 2)
         # Pin both runs to the regime the LONGER run needs: the
@@ -52,19 +57,17 @@ def _suite(kernel: str) -> int:
         t_half = _timed_steps(cfg, half, force_chunked=chunked)
         t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked)
         sps = half / max(t_full - t_half, 1e-9)
-        print(
-            json.dumps(
-                {
-                    "config": name,
-                    "n": n,
-                    "precision": precision,
-                    "gflops_model": round(step_gflops(n) * sps, 2),
-                    "pairs_per_sec": f"{pairs_per_step(n) * sps:.4g}",
-                    "steps_per_sec": round(sps, 4),
-                }
-            ),
-            flush=True,
-        )
+        row = {
+            "config": name,
+            "n": n,
+            "precision": precision,
+            "gflops_model": round(step_gflops(n) * sps, 2),
+            "pairs_per_sec": f"{pairs_per_step(n) * sps:.4g}",
+            "steps_per_sec": round(sps, 4),
+        }
+        if kernel_pin:
+            row["kernel"] = kernel_pin
+        print(json.dumps(row), flush=True)
     return 0
 
 

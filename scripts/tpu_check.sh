@@ -25,6 +25,20 @@ for args in "--kernel pallas" "--kernel pallas_sym" "--fused" \
         exit 1
     fi
 done
+# PM tier (approximate O(N log N) mesh solve): no golden gate; require a
+# finite trace plus a bounded force error vs the exact kernel.
+echo "== python -m nbody_tpu 65536 10 --kernel pm"
+python -m nbody_tpu 65536 10 --sfreq 5 --kernel pm 2>/dev/null | extract \
+    | awk '{if ($2+0 != $2) exit 1}' \
+    && echo "   pm trace finite ok" || { echo "FAIL: pm trace"; exit 1; }
+python - <<'PY'
+from nbody_tpu.init import make_state
+from nbody_tpu.ops import pm
+state = make_state(65536, pad_multiple=1024)
+err = float(pm.force_error_vs_exact(state.pos, state.mass, 128))
+assert err < 5e-3, f"pm force error regression: {err}"
+print(f"   pm force error ok ({err:.2e} rel L2 at ng=128)")
+PY
 bench_json="$(python bench.py 2>/dev/null | tail -1)"
 echo "$bench_json"
 python - "$bench_json" <<'PY'

@@ -84,7 +84,7 @@ def test_pod_launcher_rank_gating(tmp_path):
     env["NBODY_LOG_DIR"] = str(tmp_path)
     res = subprocess.run(
         ["bash", os.path.join(repo, "scripts", "pod_run.sh"), "2",
-         "512", "50", "--platform", "cpu", "--shards", "8",
+         "512", "50", "cpu", "0.5", "--platform", "cpu", "--shards", "8",
          "--kernel", "naive"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=240,
     )
@@ -92,6 +92,8 @@ def test_pod_launcher_rank_gating(tmp_path):
     rank0 = (tmp_path / "rank0.out").read_text()
     rank1 = (tmp_path / "rank1.out").read_text()
     assert " Initialize Gravity Simulation" in rank0
+    # the device-token echo (ver5_all/main.cpp:42) is rank-0-only too
+    assert "cpu" in rank0.splitlines()
     assert any(l.startswith(" 50 ") for l in rank0.splitlines())
     # rank 1 may leak transport-layer chatter (Gloo) but nothing of ours
     own = [l for l in rank1.splitlines()

@@ -126,6 +126,27 @@ def test_pm_registry_entry():
     assert registry.resolve("auto", n=4096) != "pm"
 
 
+def test_pm_autodiff_flows():
+    """jax.grad flows through the mesh solve (scatter/FFT/gather are all
+    natively differentiable) — but the derivative of the CIC hat kernel
+    is piecewise constant, so mesh-force gradients are only accurate on
+    scales above the grid spacing.  The contract tested here is
+    structural: finite, nonzero, and jit-compatible.  Gradient-accurate
+    work should use the exact kernels' analytic VJP (ops/grad.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    pos, mass = _random_system(256, seed=6)
+
+    def loss(p):
+        a = pm.accelerations(p, jnp.asarray(mass), grid=32)
+        return (a * a).sum()
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(pos))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_pm_sharded_allgather_only():
     """Sharded pm matches single-device under allgather; ring modes are
     rejected (a streamed source block's box does not cover remote
