@@ -118,7 +118,8 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
                                max_pairs_per_exec: int = MAX_PAIRS_PER_EXEC,
                                dist_dtype: str = "float32",
                                sym: bool = False,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               per_step: bool = False):
     """Watchdog-safe sample block for huge work (needs_host_chunking):
     the block is orchestrated from the host as many short executables
     with NO host syncs between them — the device stays busy back-to-back
@@ -145,8 +146,12 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
     dtf = jnp.float32(dt)
     half = jnp.float32(0.5) * dtf
 
-    if n_padded * n_padded <= max_pairs_per_exec and accel_fn is not None:
-        # Per-step executables.
+    if (per_step or n_padded * n_padded <= max_pairs_per_exec) \
+            and accel_fn is not None:
+        # Per-step executables.  ``per_step=True`` forces this regime for
+        # kernels whose cost is not pair-count-shaped (the pm mesh solver:
+        # cheap steps, but a long block is still ONE executable and the
+        # watchdog meters executables).
         @jax.jit
         def euler_one(pos, vel, mass):
             acc = accel_fn(pos, mass)

@@ -25,7 +25,7 @@ Why this is a good fit for the reference's force law: the softening
 eps = sqrt(1e-3) ~ 0.032 is LARGE compared to a 128-grid spacing of the
 unit initial box (h ~ 0.008), so the pair force is smooth on the grid
 scale and the only error source is the CIC smoothing of sub-cell
-positions — measured ~1e-2 relative L2 force error at ng=128 (see
+positions — measured 8.5e-4 relative L2 force error at ng=128 (see
 tests/test_pm.py and docs/DESIGN.md "Particle-mesh tier").
 
 Structural properties (all tested):
@@ -164,6 +164,10 @@ def accelerations_between(
     interpret, dist_dtype) are accepted and ignored — the solver is fp32
     and has no Pallas tiling."""
     ng = int(grid)
+    if ng < 8:
+        # ng - 3 usable cells must be positive (ng <= 3 divides by zero
+        # -> all-NaN output); anything below 8 is physically useless.
+        raise ValueError(f"pm grid must be >= 8, got {ng}")
     f32 = jnp.float32
     pos_tgt = pos_tgt.astype(f32)
     pos_src = pos_src.astype(f32)

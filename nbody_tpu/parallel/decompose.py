@@ -163,6 +163,15 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}")
 
+    if kernel_name == "pm" and comm != "allgather":
+        # The mesh solver needs every target inside the source box; ring
+        # modes (incl. rdma/ring_sym, which would silently substitute
+        # exact Pallas kernels) stream source BLOCKS whose bounding boxes
+        # do not cover remote targets.
+        raise ValueError(
+            "--kernel pm supports only --comm allgather when sharded"
+        )
+
     if comm == "rdma":
         # The fused in-kernel RDMA ring (ring_kernel.py).
         from .ring_kernel import ring_accelerations
@@ -200,13 +209,6 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
             return _accel_ring_sym(p, m, self_fn, two_sided_fn)
 
     else:
-        if kernel_name == "pm" and comm != "allgather":
-            # The mesh solver needs every target inside the source box;
-            # ring modes stream source BLOCKS whose bounding boxes do not
-            # cover remote targets (edge-clamped garbage forces).
-            raise ValueError(
-                "--kernel pm supports only --comm allgather when sharded"
-            )
         between_fn = registry.get_between(kernel_name)
         if kernel_opts:
             between_fn = functools.partial(between_fn, **kernel_opts)

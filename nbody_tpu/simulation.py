@@ -198,11 +198,28 @@ class _DeviceRunner(_BlockRunner):
             )
 
             def build(steps):
-                # The mesh solver is O(ng^3 log ng + N) per step — never
-                # near the executable watchdog, and the chunked pair-sweep
-                # fallbacks would silently replace it with exact kernels.
-                if resolved != "pm" and needs_host_chunking(
-                        state.n_padded, steps):
+                if resolved == "pm":
+                    # Mesh steps are O(ng^3 log ng + N) — pair-count
+                    # chunking doesn't apply (it would silently swap in
+                    # exact kernels) — but a long sample block is still
+                    # ONE executable and the runtime watchdog meters
+                    # executables (~1 min).  Above a conservative block
+                    # estimate, run one executable per step.
+                    from .ops.pm import DEFAULT_GRID
+
+                    ng = cfg.pm_grid or DEFAULT_GRID
+                    est_step = 1.5e-7 * state.n_padded + 8e-9 * (2 * ng) ** 3
+                    if steps * est_step > 30.0:
+                        return make_host_chunked_block_fn(
+                            cfg.dt, steps, state.n_padded,
+                            accel_fn=self.accel_fn,
+                            integrator=cfg.integrator, per_step=True,
+                        )
+                    return make_block_fn(
+                        self.accel_fn, cfg.dt, steps,
+                        integrator=cfg.integrator,
+                    )
+                if needs_host_chunking(state.n_padded, steps):
                     # Huge N: the single-executable block would trip the
                     # runtime watchdog; orchestrate short executables from
                     # the host (pair-symmetric chunk sweeps when the

@@ -148,9 +148,9 @@ def test_pm_autodiff_flows():
 
 
 def test_pm_sharded_allgather_only():
-    """Sharded pm matches single-device under allgather; ring modes are
-    rejected (a streamed source block's box does not cover remote
-    targets)."""
+    """Sharded pm matches single-device under allgather; EVERY other comm
+    mode is rejected — incl. rdma/ring_sym, which would otherwise
+    silently substitute exact Pallas kernels for the requested pm."""
     from nbody_tpu.config import SimConfig
     from nbody_tpu.parallel.decompose import make_sharded_block_fn
     from nbody_tpu.parallel.mesh import make_mesh
@@ -163,5 +163,60 @@ def test_pm_sharded_allgather_only():
     for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
         assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)
 
-    with pytest.raises(ValueError, match="allgather"):
-        make_sharded_block_fn("pm", {}, 0.1, 5, make_mesh(4), comm="ring")
+    mesh = make_mesh(4)
+    for comm in ("ring", "ring_sym", "rdma"):
+        with pytest.raises(ValueError, match="allgather"):
+            make_sharded_block_fn("pm", {}, 0.1, 5, mesh, comm=comm)
+
+
+def test_pm_grid_lower_bound():
+    """ng <= 3 would divide by zero (all-NaN output); tiny grids are
+    rejected up front."""
+    pos, mass = _random_system(64, seed=7)
+    for ng in (0, 3, 7):
+        with pytest.raises(ValueError, match=">= 8"):
+            pm.accelerations(pos, mass, grid=ng)
+
+
+def test_pm_long_block_uses_per_step_executables():
+    """A pm sample block whose estimated time approaches the executable
+    watchdog must be split into one executable per step; short blocks
+    stay fused.  (Physics is identical either way — same accel_fn.)"""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import _DeviceRunner
+
+    # huge N + big grid -> est_step * sfreq far exceeds the 30 s budget
+    cfg = SimConfig(n=4_000_000, nsteps=50, kernel="pm", pm_grid=256)
+    est = 1.5e-7 * 4_000_000 + 8e-9 * 512 ** 3
+    assert 50 * est > 30.0  # the config the guard exists for
+    # wiring-level check on a small instance: force the estimate over
+    # budget via a large sfreq and confirm the per-step builder runs
+    import nbody_tpu.models.gravity as gravity
+
+    calls = {}
+    orig = gravity.make_host_chunked_block_fn
+
+    def spy(*a, **kw):
+        calls["per_step"] = kw.get("per_step")
+        return orig(*a, **kw)
+
+    # prepare()'s build() closure binds the builder name at prepare
+    # time, so the spy must be installed first
+    gravity.make_host_chunked_block_fn = spy
+    try:
+        cfg = SimConfig(n=256, nsteps=2, kernel="pm", pm_grid=64)
+        runner = _DeviceRunner(cfg)
+        runner.prepare()
+        # est_step at ng=64 is ~17 ms -> 2000 steps exceeds the 30 s
+        # budget, flipping build() into the per-step regime (build only —
+        # executing 2000 CPU FFT steps here would be pointless)
+        runner._block_for(2000)
+    finally:
+        gravity.make_host_chunked_block_fn = orig
+    assert calls.get("per_step") is True
+
+
+def test_pm_docstring_accuracy_consistent():
+    """The module docstring's headline error figure must match the
+    tested/gated value (8.5e-4 at ng=128), not drift independently."""
+    assert "8.5e-4" in pm.__doc__
