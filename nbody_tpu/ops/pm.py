@@ -130,20 +130,56 @@ def _force_kernel_spectra(h, ng):
     )
 
 
-def _bbox(pos, mass):
-    """Mass-weighted bounding box (lo (3,1), span (3,1)).
+def _robust_box(pos, mass):
+    """Robust mesh box (lo (3,1), hi (3,1)) for the MASSIVE particles.
 
-    Zero-mass padding particles are EXCLUDED: the state convention parks
-    them on a far-away diagonal (state.pad_state), and letting them into
-    the box would dilate the grid spacing by orders of magnitude and
-    destroy the solve's resolution for the real particles.  Degenerate
-    axes (all particles coplanar) get a floor so spacing stays positive."""
+    Two failure modes shape this:
+
+    * Zero-mass padding sits on a far diagonal (state.pad_state) — it is
+      excluded entirely, or it would dilate the grid spacing by orders of
+      magnitude and destroy the solve's resolution.
+    * Heavy-tailed distributions (e.g. Plummer) put a few massive
+      particles at many core-radii; an exact bounding box over them
+      under-resolves the core just as badly (measured: 0.96 rel force
+      error on Plummer ICs with an exact box).  The box is therefore the
+      inner-99% percentile span per axis, expanded by one span on each
+      side and clipped to the exact extent: for compact distributions it
+      IS the exact bounding box (nothing changes), while tail particles
+      fall outside and are handled analytically by the monopole far
+      field (see accelerations_between).
+    """
     real = mass[None, :] > 0
     big = jnp.float32(3e38)
-    lo = jnp.min(jnp.where(real, pos, big), axis=1, keepdims=True)
-    hi = jnp.max(jnp.where(real, pos, -big), axis=1, keepdims=True)
-    span = jnp.maximum(hi - lo, jnp.float32(1e-6))
-    return lo, span
+    lo_exact = jnp.min(jnp.where(real, pos, big), axis=1, keepdims=True)
+    hi_exact = jnp.max(jnp.where(real, pos, -big), axis=1, keepdims=True)
+    # Percentiles on a strided subsample: a 0.5% quantile needs only
+    # ~64k samples, and full-N sorts cost ~11 ms/step at N=1M (measured).
+    # The box is expanded by a whole span and clipped to the exact
+    # extent, so subsampling noise in the quantile estimate is harmless.
+    stride = max(1, pos.shape[1] // 65536)
+    nanpos = jnp.where(real[:, ::stride], pos[:, ::stride], jnp.nan)
+    q = jnp.nanpercentile(nanpos, jnp.asarray([0.5, 99.5]), axis=1)  # (2,3)
+    q_lo, q_hi = q[0][:, None], q[1][:, None]
+    span_q = q_hi - q_lo
+    lo = jnp.maximum(lo_exact, q_lo - span_q)
+    hi = jnp.minimum(hi_exact, q_hi + span_q)
+    return lo, jnp.maximum(hi, lo + jnp.float32(1e-6))
+
+
+def _inside(pos, lo, hi):
+    """(N,) f32 mask: 1 where the particle is inside the mesh box."""
+    ok = jnp.all((pos >= lo) & (pos <= hi), axis=0)
+    return ok.astype(jnp.float32)
+
+
+def _monopole(pos_tgt, m_tot, com):
+    """Softened point-mass force field of (m_tot, com) at the targets
+    (3, N); the analytic far-field for particles outside the mesh box."""
+    d = com - pos_tgt
+    r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + jnp.float32(
+        SOFTENING_SQUARED)
+    u = jax.lax.rsqrt(r2)
+    return m_tot * d * (u * u * u)
 
 
 def accelerations_between(
@@ -156,13 +192,21 @@ def accelerations_between(
     """Mesh-solved accelerations of targets due to sources.
 
     pos_tgt (3, Nt), pos_src (3, Ns), mass_src (Ns,) -> (3, Nt) f32.
-    The grid spans the MASSIVE sources' bounding box (zero-mass padding
-    is excluded so it cannot dilate the resolution); targets outside it
-    are clamped to the edge cells during the gather — finite but
-    edge-valued forces, which only ever applies to padding particles in
-    this framework's workloads.  Extra registry options (tiles,
-    interpret, dist_dtype) are accepted and ignored — the solver is fp32
-    and has no Pallas tiling."""
+    The mesh covers the robust (inner-99%, 3x-expanded) box of the
+    MASSIVE sources (zero-mass padding and heavy-tail outliers excluded
+    — see _robust_box); the few particles outside it are handled
+    analytically:
+
+    * outlier SOURCES contribute their combined monopole (M_out,
+      com_out) to every target — they are genuinely far, so the
+      point-mass field is accurate;
+    * outlier TARGETS receive the in-box sources' monopole (M_in,
+      com_in) instead of a mesh gather.
+
+    For compact distributions the box equals the exact bounding box and
+    both monopole terms vanish — the solve is pure mesh.  Extra registry
+    options (tiles, interpret, dist_dtype) are accepted and ignored —
+    the solver is fp32 and has no Pallas tiling."""
     ng = int(grid)
     if ng < 8:
         # ng - 3 usable cells must be positive (ng <= 3 divides by zero
@@ -171,13 +215,27 @@ def accelerations_between(
     f32 = jnp.float32
     pos_tgt = pos_tgt.astype(f32)
     pos_src = pos_src.astype(f32)
-    lo, span = _bbox(pos_src, mass_src)
+    mass_src = mass_src.astype(f32)
+    lo_box, hi_box = _robust_box(pos_src, mass_src)
+    span = hi_box - lo_box
+    in_src = _inside(pos_src, lo_box, hi_box)  # (Ns,) f32
+    in_tgt = _inside(pos_tgt, lo_box, hi_box)  # (Nt,) f32
+    m_in = mass_src * in_src
+    m_out = mass_src - m_in
+    tiny = f32(1e-30)
+    M_out = jnp.sum(m_out)
+    com_out = (pos_src * m_out).sum(axis=1, keepdims=True) / jnp.maximum(
+        M_out, tiny)
+    M_in = jnp.sum(m_in)
+    com_in = (pos_src * m_in).sum(axis=1, keepdims=True) / jnp.maximum(
+        M_in, tiny)
+
     # ng-3 usable cells: one margin cell each side plus the CIC upper corner.
     h = (span / f32(ng - 3))[:, 0]  # (3,)
     inv_h = 1.0 / h[:, None]
-    lo = lo - h[:, None]  # one-cell margin
+    lo = lo_box - h[:, None]  # one-cell margin
 
-    rho = _deposit(pos_src, mass_src.astype(f32), lo, inv_h, ng)
+    rho = _deposit(pos_src, m_in, lo, inv_h, ng)
     m = 2 * ng
     rho_hat = jnp.fft.rfftn(rho, s=(m, m, m))
     kx, ky, kz = _force_kernel_spectra(h, ng)
@@ -188,6 +246,8 @@ def accelerations_between(
         -jnp.fft.irfftn(rho_hat * kz, s=(m, m, m))[:ng, :ng, :ng],
     ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
+    acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
+    acc = acc + _monopole(pos_tgt, M_out, com_out)
     return (acc * f32(G_NEWTON)).astype(f32)
 
 

@@ -38,6 +38,28 @@ def test_pm_error_shrinks_with_grid():
     assert e64 < e32
 
 
+def test_pm_clustered_distributions():
+    """Accuracy characterization on the framework's IC families.  The
+    robust box + monopole far field keep heavy-tailed Plummer ICs usable
+    (an exact bounding box measured 0.96 rel error — the tail dilated the
+    grid); the residual error there is intrinsic one-level PM (grid
+    spacing h >> softening for a spread cluster: sub-grid close-pair
+    forces are mesh-smoothed).  Compact distributions sit in the
+    high-accuracy regime (h < softening)."""
+    from nbody_tpu.init import make_state as mk
+
+    bounds = {
+        ("reference", 64): 2e-2,
+        ("cold_sphere", 64): 5e-2,
+        ("plummer", 64): 0.5,     # documented PM limitation, not a bug
+        ("plummer", 128): 0.25,
+    }
+    for (dist, ng), bound in bounds.items():
+        state = mk(4096, distribution=dist)
+        err = float(pm.force_error_vs_exact(state.pos, state.mass, ng))
+        assert err < bound, (dist, ng, err, bound)
+
+
 def test_pm_momentum_exactly_conserved():
     """Same CIC kernel both ways + antisymmetric force kernel => the
     discrete momentum flux cancels pairwise (sum m*a ~ 0 to rounding)."""
