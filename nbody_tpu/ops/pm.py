@@ -107,12 +107,18 @@ def _gather(grids, pos, lo, inv_h, ng):
 
 
 def _force_kernel_spectra(h, ng):
-    """rfftn spectra of the three Plummer-softened force-kernel components
+    """fftn spectra of the three Plummer-softened force-kernel components
     sampled on the doubled (2ng)^3 grid with signed wraparound
     displacements (Hockney open-boundary convolution kernel).
 
     ``h`` is the (3,) per-axis grid spacing (traced — the kernel follows
-    the particles' bounding box)."""
+    the particles' bounding box).
+
+    Full-complex transforms on purpose: this TPU backend's ``irfftn`` is
+    NON-DETERMINISTIC and ~0.17 off from CPU at these sizes (measured,
+    run-to-run max diff 1.4e5 on a 4.2e9-scale grid), while
+    ``fftn``/``ifftn`` agree with CPU to 2e-7 and are bit-stable.  The
+    halved-spectrum saving is not worth a broken inverse."""
     m = 2 * ng
     idx = jnp.arange(m)
     # signed displacement in cells: 0..ng-1, then the negative half
@@ -124,9 +130,9 @@ def _force_kernel_spectra(h, ng):
     u = jax.lax.rsqrt(r2)
     u3 = u * u * u  # 1 / (r^2 + eps^2)^{3/2}
     return (
-        jnp.fft.rfftn(rx * u3),
-        jnp.fft.rfftn(ry * u3),
-        jnp.fft.rfftn(rz * u3),
+        jnp.fft.fftn(rx * u3),
+        jnp.fft.fftn(ry * u3),
+        jnp.fft.fftn(rz * u3),
     )
 
 
@@ -237,13 +243,15 @@ def accelerations_between(
 
     rho = _deposit(pos_src, m_in, lo, inv_h, ng)
     m = 2 * ng
-    rho_hat = jnp.fft.rfftn(rho, s=(m, m, m))
+    # Full-complex transforms — see _force_kernel_spectra for why
+    # (this backend's irfftn is non-deterministic and inaccurate).
+    rho_hat = jnp.fft.fftn(rho, s=(m, m, m))
     kx, ky, kz = _force_kernel_spectra(h, ng)
     # a(c) = sum_{c'} rho(c') f(c' - c) = -(rho * f)(c) for antisymmetric f
     acc_grids = jnp.stack([
-        -jnp.fft.irfftn(rho_hat * kx, s=(m, m, m))[:ng, :ng, :ng],
-        -jnp.fft.irfftn(rho_hat * ky, s=(m, m, m))[:ng, :ng, :ng],
-        -jnp.fft.irfftn(rho_hat * kz, s=(m, m, m))[:ng, :ng, :ng],
+        -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
     ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))

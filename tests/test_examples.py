@@ -42,6 +42,12 @@ def test_ladder_example(capsys):
     assert "naive jnp" in out
 
 
+def test_pm_crossover_example(capsys):
+    _run_example("examples/pm_crossover.py", ["512"])
+    out = capsys.readouterr().out
+    assert "speedup" in out and "pm rel err" in out
+
+
 def test_snapshots_and_periodic_checkpoints(tmp_path):
     snapdir = str(tmp_path / "snaps")
     ck = str(tmp_path / "ck.npz")
