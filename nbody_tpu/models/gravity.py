@@ -165,13 +165,17 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
             acc_n = accel_fn(p, mass)
             return p, v_h + acc_n * half, acc_n
 
+        # jitted — an eager accel_fn call dispatches per-op over tunneled
+        # backends (minutes for a mesh solve)
+        accel_seed = jax.jit(lambda p, m: accel_fn(p, m))
+
         def block(state: ParticleState):
             pos, vel, mass = state.pos, state.vel, state.mass
             if integrator == "euler":
                 for _ in range(block_steps):
                     pos, vel = euler_one(pos, vel, mass)
             else:
-                acc = accel_fn(pos, mass)
+                acc = accel_seed(pos, mass)
                 for _ in range(block_steps):
                     pos, vel, acc = lf_one(pos, vel, acc, mass)
             new = ParticleState(pos=pos, vel=vel, mass=mass, n=state.n)

@@ -28,22 +28,31 @@ scale and the only error source is the CIC smoothing of sub-cell
 positions — measured 8.5e-4 relative L2 force error at ng=128 (see
 tests/test_pm.py and docs/DESIGN.md "Particle-mesh tier").
 
-Structural properties (all tested):
-* **Exact momentum conservation**: deposit and gather use the same CIC
-  weights and the sampled kernel is exactly antisymmetric, so the
-  discrete pair force between any two cloud cells cancels its reaction.
-* **Exactly zero self-force**: a particle's own symmetric CIC cloud
-  convolved with the antisymmetric kernel evaluates to zero at the
-  particle (same reason the reference's unmasked diagonal is zero).
-* **Zero-mass padding is force- and energy-neutral** (weight 0).
+Structural properties (tested in tests/test_pm.py):
+* **Exact momentum conservation and exactly zero self-force — when every
+  particle is inside the mesh box** (the whole-distribution case for
+  compact ICs): deposit and gather share the CIC weights and the sampled
+  kernel is exactly antisymmetric, so each cloud-cell pair cancels its
+  reaction, and a particle's own symmetric cloud convolved with the
+  antisymmetric kernel is zero at the particle (same reason the
+  reference's unmasked diagonal is zero).  When heavy-tail OUTLIERS
+  exist, their per-octant monopole far field is approximate: momentum
+  closes only to the outlier mass fraction, and an outlier sharing an
+  octant with others feels a small self-term (a LONE outlier still has
+  exactly zero self-force — its octant monopole sits at its own
+  position).
+* **Zero-mass padding is force- and energy-neutral** (weight 0, and
+  excluded from the box like any massless particle).
 
 TPU mapping: the whole step is jnp — XLA batches the 8-corner scatter
-(deposit) and gather, and the six ``rfftn``/``irfftn`` transforms run as
-native XLA FFTs; there is nothing for a hand-written Pallas kernel to
-beat here since FFT butterflies and scatters are memory-bound host-library
-territory, not VPU pair math.  The kernel spectra depend on the current
-bounding box, so they are rebuilt inside the same jit (3 extra forward
-FFTs) — no host round-trip, no dynamic shapes.
+(deposit) and gather, and the seven full-complex ``fftn``/``ifftn``
+transforms run as native XLA FFTs (full-complex on purpose: this
+backend's ``irfftn`` is non-deterministic and inaccurate — see
+_force_kernel_spectra); there is nothing for a hand-written Pallas
+kernel to beat here since FFT butterflies and scatters are memory-bound
+host-library territory, not VPU pair math.  The kernel spectra depend
+on the current bounding box, so they are rebuilt inside the same jit
+(3 extra forward FFTs) — no host round-trip, no dynamic shapes.
 """
 
 from __future__ import annotations
@@ -229,12 +238,27 @@ def accelerations_between(
     m_in = mass_src * in_src
     m_out = mass_src - m_in
     tiny = f32(1e-30)
-    M_out = jnp.sum(m_out)
-    com_out = (pos_src * m_out).sum(axis=1, keepdims=True) / jnp.maximum(
-        M_out, tiny)
     M_in = jnp.sum(m_in)
     com_in = (pos_src * m_in).sum(axis=1, keepdims=True) / jnp.maximum(
         M_in, tiny)
+    # Outlier sources, grouped PER OCTANT around the box center: a single
+    # collective monopole would misplace outliers that straddle the box
+    # (two heavy bodies on opposite sides average to a phantom central
+    # mass); one monopole per direction octant keeps each group far AND
+    # on its own side.  A lone outlier gets its own octant, so its
+    # self-force is exactly zero (d = 0 under softening).
+    ctr = 0.5 * (lo_box + hi_box)  # (3, 1)
+    side = (pos_src > ctr).astype(jnp.int32)
+    oct_id = side[0] * 4 + side[1] * 2 + side[2]  # (Ns,)
+    oct_masses, oct_coms = [], []
+    for k in range(8):
+        m_k = m_out * (oct_id == k).astype(f32)
+        M_k = jnp.sum(m_k)
+        oct_masses.append(M_k)
+        oct_coms.append(
+            (pos_src * m_k).sum(axis=1, keepdims=True)
+            / jnp.maximum(M_k, tiny)
+        )
 
     # ng-3 usable cells: one margin cell each side plus the CIC upper corner.
     h = (span / f32(ng - 3))[:, 0]  # (3,)
@@ -255,7 +279,8 @@ def accelerations_between(
     ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
-    acc = acc + _monopole(pos_tgt, M_out, com_out)
+    for M_k, com_k in zip(oct_masses, oct_coms):
+        acc = acc + _monopole(pos_tgt, M_k, com_k)
     return (acc * f32(G_NEWTON)).astype(f32)
 
 

@@ -168,12 +168,31 @@ class _DeviceRunner(_BlockRunner):
             from .parallel.decompose import shard_state, make_sharded_block_fn
 
             state, mesh = shard_state(state, cfg.shards)
-            self._block_for = lambda steps: self._cached(
-                steps,
-                lambda: make_sharded_block_fn(
+
+            def build_sharded(steps):
+                if resolved == "pm" and steps * self._pm_step_est() > 30.0:
+                    # Same watchdog logic as the single-device pm branch:
+                    # loop 1-step sharded executables from the host so no
+                    # single executable approaches the ~1 min meter.
+                    one = make_sharded_block_fn(
+                        cfg.kernel, cfg.kernel_opts(), cfg.dt, 1, mesh,
+                        comm=cfg.comm, integrator=cfg.integrator,
+                    )
+
+                    def block(st):
+                        ke = None
+                        for _ in range(steps):
+                            st, ke = one(st)
+                        return st, ke
+
+                    return block
+                return make_sharded_block_fn(
                     cfg.kernel, cfg.kernel_opts(), cfg.dt, steps, mesh,
                     comm=cfg.comm, integrator=cfg.integrator,
-                ),
+                )
+
+            self._block_for = lambda steps: self._cached(
+                steps, lambda: build_sharded(steps)
             )
         elif cfg.fused:
             from .models.gravity import make_fused_block_fn
@@ -205,11 +224,7 @@ class _DeviceRunner(_BlockRunner):
                     # ONE executable and the runtime watchdog meters
                     # executables (~1 min).  Above a conservative block
                     # estimate, run one executable per step.
-                    from .ops.pm import DEFAULT_GRID
-
-                    ng = cfg.pm_grid or DEFAULT_GRID
-                    est_step = 1.5e-7 * state.n_padded + 8e-9 * (2 * ng) ** 3
-                    if steps * est_step > 30.0:
+                    if steps * self._pm_step_est() > 30.0:
                         return make_host_chunked_block_fn(
                             cfg.dt, steps, state.n_padded,
                             accel_fn=self.accel_fn,
@@ -259,6 +274,15 @@ class _DeviceRunner(_BlockRunner):
                 if not self._online or self._online["locked"]:
                     raise
                 self._discard_candidate()  # first candidate failed; skip it
+
+    def _pm_step_est(self) -> float:
+        """Conservative seconds-per-step estimate for the mesh solver
+        (measured ~2-3x above actual on v5e), used to keep any single
+        executable well under the ~1 min runtime watchdog."""
+        from .ops.pm import DEFAULT_GRID
+
+        ng = self.cfg.pm_grid or DEFAULT_GRID
+        return 1.5e-7 * self.state.n_padded + 8e-9 * (2 * ng) ** 3
 
     def _cached(self, steps: int, build: Callable):
         # Keyed by tiles too: the online retuner switches tile configs

@@ -60,6 +60,32 @@ def test_pm_clustered_distributions():
         assert err < bound, (dist, ng, err, bound)
 
 
+def test_pm_straddling_outliers():
+    """Heavy bodies on OPPOSITE sides of a light cluster: a single
+    collective outlier monopole would average them into a phantom
+    central mass; the per-octant far field keeps each on its own side.
+    Verified against the exact kernel."""
+    rng = np.random.default_rng(8)
+    pos = np.asarray(0.5 + 0.01 * rng.standard_normal((3, 512)), np.float32)
+    mass = np.asarray(rng.random(512), np.float32)
+    pos = np.concatenate(
+        [pos, np.array([[-50.0, 51.0], [0.5, 0.5], [0.5, 0.5]], np.float32)],
+        axis=1,
+    )
+    mass = np.concatenate([mass, np.array([3e4, 3e4], np.float32)])
+    a_pm = np.asarray(pm.accelerations(pos, mass, grid=32))
+    a_ref = np.asarray(naive.accelerations(pos, mass))
+    # in-box particles: the two far bodies' pulls nearly cancel; the pm
+    # field must reproduce that rather than invent a central mass
+    err = (np.linalg.norm(a_pm[:, :512] - a_ref[:, :512])
+           / np.linalg.norm(a_ref[:, :512]))
+    assert err < 0.05, err
+    # the outliers themselves: monopole of the cluster + the other body
+    err_out = (np.linalg.norm(a_pm[:, 512:] - a_ref[:, 512:])
+               / np.linalg.norm(a_ref[:, 512:]))
+    assert err_out < 0.05, err_out
+
+
 def test_pm_momentum_exactly_conserved():
     """Same CIC kernel both ways + antisymmetric force kernel => the
     discrete momentum flux cancels pairwise (sum m*a ~ 0 to rounding)."""
@@ -236,6 +262,25 @@ def test_pm_long_block_uses_per_step_executables():
     finally:
         gravity.make_host_chunked_block_fn = orig
     assert calls.get("per_step") is True
+
+
+def test_pm_sharded_long_block_per_step(monkeypatch):
+    """The sharded path shares the watchdog logic: a long pm block runs
+    as host-looped 1-step sharded executables, physics identical."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import _DeviceRunner
+
+    cfg = SimConfig(n=512, nsteps=50, kernel="pm", pm_grid=32, shards=4)
+    runner = _DeviceRunner(cfg)
+    monkeypatch.setattr(_DeviceRunner, "_pm_step_est", lambda self: 100.0)
+    runner.prepare()  # warm-up already exercises the per-step loop
+    ke = runner.run_block(50)
+
+    ref = _DeviceRunner(SimConfig(n=512, nsteps=50, kernel="pm",
+                                  pm_grid=32, shards=4))
+    ref.prepare()
+    ke_ref = ref.run_block(50)
+    assert abs(ke - ke_ref) <= 1e-4 * max(abs(ke_ref), 1e-9), (ke, ke_ref)
 
 
 def test_pm_docstring_accuracy_consistent():
