@@ -169,20 +169,34 @@ class _DeviceRunner(_BlockRunner):
 
             state, mesh = shard_state(state, cfg.shards)
 
-            def build_sharded(steps):
-                if resolved == "pm" and steps * self._pm_step_est() > 30.0:
-                    # Same watchdog logic as the single-device pm branch:
-                    # loop 1-step sharded executables from the host so no
-                    # single executable approaches the ~1 min meter.
-                    one = make_sharded_block_fn(
-                        cfg.kernel, cfg.kernel_opts(), cfg.dt, 1, mesh,
+            def sharded_sub_block(k):
+                # Cached independently of the outer block length so every
+                # sample block reuses the same compiled sub-executable
+                # (remote compiles cost 1-300 s per new shape here).
+                key = ("pm-sub", k)
+                if key not in self._blocks:
+                    self._blocks[key] = make_sharded_block_fn(
+                        cfg.kernel, cfg.kernel_opts(), cfg.dt, k, mesh,
                         comm=cfg.comm, integrator=cfg.integrator,
                     )
+                return self._blocks[key]
+
+            def build_sharded(steps):
+                est = self._pm_step_est()
+                if resolved == "pm" and steps * est > 30.0:
+                    # Same watchdog logic as the single-device pm branch,
+                    # but in the LARGEST sub-blocks that fit the budget:
+                    # each sub-block re-seeds the leapfrog acceleration,
+                    # so bigger sub-blocks amortize that extra solve
+                    # (overhead 1/sub instead of 2x at sub=1).
+                    sub = max(1, min(steps, int(30.0 / max(est, 1e-9))))
 
                     def block(st):
-                        ke = None
-                        for _ in range(steps):
-                            st, ke = one(st)
+                        done, ke = 0, None
+                        while done < steps:
+                            k = min(sub, steps - done)
+                            st, ke = sharded_sub_block(k)(st)
+                            done += k
                         return st, ke
 
                     return block

@@ -266,20 +266,28 @@ def test_pm_long_block_uses_per_step_executables():
 
 def test_pm_sharded_long_block_per_step(monkeypatch):
     """The sharded path shares the watchdog logic: a long pm block runs
-    as host-looped 1-step sharded executables, physics identical."""
+    as host-looped sub-block executables, physics identical to the
+    normal fused sharded block.  The reference runner is built BEFORE
+    the estimate is patched, so the two runners genuinely take
+    different paths."""
     from nbody_tpu.config import SimConfig
     from nbody_tpu.simulation import _DeviceRunner
-
-    cfg = SimConfig(n=512, nsteps=50, kernel="pm", pm_grid=32, shards=4)
-    runner = _DeviceRunner(cfg)
-    monkeypatch.setattr(_DeviceRunner, "_pm_step_est", lambda self: 100.0)
-    runner.prepare()  # warm-up already exercises the per-step loop
-    ke = runner.run_block(50)
 
     ref = _DeviceRunner(SimConfig(n=512, nsteps=50, kernel="pm",
                                   pm_grid=32, shards=4))
     ref.prepare()
+    assert not any(isinstance(k, tuple) and k and k[0] == "pm-sub"
+                   for k in ref._blocks)  # fused path taken
     ke_ref = ref.run_block(50)
+
+    # est=2 s/step -> 50-step block over budget, sub-blocks of 15 steps
+    monkeypatch.setattr(_DeviceRunner, "_pm_step_est", lambda self: 2.0)
+    runner = _DeviceRunner(SimConfig(n=512, nsteps=50, kernel="pm",
+                                     pm_grid=32, shards=4))
+    runner.prepare()
+    ke = runner.run_block(50)
+    assert any(isinstance(k, tuple) and k and k[0] == "pm-sub"
+               for k in runner._blocks)  # sub-block path engaged
     assert abs(ke - ke_ref) <= 1e-4 * max(abs(ke_ref), 1e-9), (ke, ke_ref)
 
 
