@@ -24,10 +24,15 @@ class SimConfig:
     energy_check: bool = False  # report total-energy drift (KE+PE) at end
 
     # Kernel selection (the ver5_all ARCH= backend seam, runtime-switchable).
-    kernel: str = "auto"  # naive | pallas | pallas_sym | pm | auto
+    kernel: str = "auto"  # naive | pallas | pallas_sym | pm | p3m | auto
     tile_i: int = 0  # 0 = kernel default
     tile_j: int = 0
     pm_grid: int = 0  # particle-mesh grid per axis (0 = kernel default)
+    pm_cutoff: int = 0  # P3M split radius in grid spacings (0 = kernel
+    # default: off for pm, ops/pm.DEFAULT_CUTOFF_CELLS for p3m; the
+    # accuracy knob — error ~ cutoff^-3, short-range cost ~ cutoff^3)
+    pm_capacity: int = 0  # P3M cell-list slots per cell (0 = data-driven
+    # at block build via pm.suggest_capacity)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -80,6 +85,15 @@ class SimConfig:
             raise ValueError(
                 f"unknown precision {self.precision!r}; options: {PRECISIONS}"
             )
+        if self.kernel in ("pm", "p3m") and self.precision == "bf16":
+            # The mesh solver is fp32-only; silently running fp32 while
+            # reporting bf16 would misrepresent the configuration
+            # (mirrors pallas_sym/pallas_mxu's bf16 rejection).
+            raise ValueError(
+                f"--kernel {self.kernel} is fp32-only; it does not support "
+                "--precision bf16 (use --kernel pallas for the bf16 "
+                "distance mode)"
+            )
 
     def kernel_opts(self) -> dict:
         from .ops.registry import resolve
@@ -97,9 +111,18 @@ class SimConfig:
                 opts["tile_j"] = self.tile_j
             if self.interpret:
                 opts["interpret"] = True
-        if resolved == "pm" and self.pm_grid:
-            opts["grid"] = self.pm_grid
+        if resolved in ("pm", "p3m"):
+            if self.pm_grid:
+                opts["grid"] = self.pm_grid
+            if self.pm_cutoff:
+                opts["cutoff_cells"] = self.pm_cutoff
+            if self.pm_capacity:
+                opts["capacity"] = self.pm_capacity
         if self.precision == "bf16":
+            if resolved in ("pm", "p3m"):  # post-construction mutation path
+                raise ValueError(
+                    f"--kernel {resolved} is fp32-only (no bf16 mode)"
+                )
             opts["dist_dtype"] = "bfloat16"
         return opts
 
@@ -113,7 +136,7 @@ class SimConfig:
         ti = self.tile_i or DEFAULT_TILE_I
         tj = self.tile_j or DEFAULT_TILE_J
         resolved = resolve(self.kernel)
-        if resolved in ("naive", "pm"):
+        if resolved in ("naive", "pm", "p3m"):
             ti = tj = 1
         elif resolved == "pallas_sym":
             from .ops.pallas_sym import DEFAULT_BLOCK

@@ -56,7 +56,7 @@ def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
                         interpret: bool = False):
     """Jitted sample block running entirely inside one Pallas call with the
     state VMEM-resident (ops/fused_block.py).  fp32, single-device,
-    N <= fused_block.MAX_FUSED_N.  Same (state) -> (state, ke) contract as
+    N <= fused_block.max_fused_n().  Same (state) -> (state, ke) contract as
     make_block_fn.
 
     Note: fused leapfrog re-seeds the carried acceleration each block (one
@@ -78,36 +78,51 @@ def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
     return block
 
 
-# One XLA executable execution longer than ~1 min trips the TPU worker
-# watchdog (observed: a single N=4M force sweep, ~92 s, crashes the
-# worker even when split into chunked pallas_calls INSIDE one jit — the
-# watchdog meters the executable, not the kernel).  Above this
-# pairs-per-executable budget the sample block is orchestrated from the
-# host as many short executables with no host syncs between them.
-MAX_PAIRS_PER_EXEC = 1 << 40  # ~6 s at the kernel's ~190 Gpairs/s
+def max_pairs_per_exec() -> int:
+    """One XLA executable execution longer than ~1 min trips the TPU
+    worker watchdog (observed: a single N=4M force sweep, ~92 s, crashes
+    the worker even when split into chunked pallas_calls INSIDE one jit —
+    the watchdog meters the executable, not the kernel).  Above this
+    pairs-per-executable budget (~6 s at the attached device's streaming
+    pair rate — utils/device_caps.py; 2^40 on v5e) the sample block is
+    orchestrated from the host as many short executables with no host
+    syncs between them."""
+    from ..utils import device_caps
+
+    return device_caps.caps().max_pairs_per_exec
 
 
 def needs_host_chunking(n_padded: int, block_steps: int) -> bool:
-    return n_padded * n_padded * block_steps > MAX_PAIRS_PER_EXEC
+    return n_padded * n_padded * block_steps > max_pairs_per_exec()
 
 
-def _sym_chunking(n: int, max_pairs: int) -> int | None:
-    """Pick an equal chunk size for the pair-symmetric host-chunked sweep:
-    the largest divisor of ``n`` that is lane-aligned, keeps one cross
-    sweep (per^2 unordered pairs) inside the per-executable budget, and
-    keeps the two-sided kernel's VMEM residency (128*per bytes of (8,per)
-    buffers) on-chip.  None when no divisor qualifies (caller falls back
-    to the streaming chunked sweep)."""
-    from ..ops.pallas_sym import MAX_SYM_N
+def _sym_chunking(n: int, max_pairs: int) -> tuple[int, int] | None:
+    """Pick ``(per, block)`` for the pair-symmetric host-chunked sweep:
+    ``per`` is an equal chunk size — a lane-aligned divisor of ``n`` that
+    keeps one cross sweep (per^2 unordered pairs) inside the
+    per-executable budget and the two-sided kernel's VMEM residency
+    (128*per bytes of (8,per) buffers) on-chip — and ``block`` is the
+    Pallas block size the sym kernels will be called with: the largest
+    power-of-two divisor of ``per`` capped at 1024 (always >= 128 since
+    per is a multiple of 128).  The explicit block matters when n has an
+    odd factor: the kernels' block=0 auto pick (1024) need not divide
+    per (e.g. n=4608 -> per=2304), which used to raise at runtime.
+    Candidates are ranked by (block, per): a bigger block is the measured
+    1.30x two-sided-kernel lever, a bigger per means fewer executables.
+    None when no divisor qualifies (caller falls back to the streaming
+    chunked sweep)."""
+    from ..ops.pallas_sym import max_sym_n
 
     # per <= 512k keeps the two-sided cross kernel in its fast b=1024
     # regime (64*(2*per) <= 80 MB VMEM residency; measured 1.30x over
     # b=512 — see ops/pallas_sym.accelerations_two_sided).
-    cap = min(int(max_pairs ** 0.5), MAX_SYM_N, 512 * 2**10)
-    best = None
+    cap = min(int(max_pairs ** 0.5), max_sym_n(), 512 * 2**10)
+    best, best_key = None, (0, 0)
     for per in range(128, cap + 1, 128):
         if n % per == 0 and n // per >= 2:
-            best = per
+            block = min(per & -per, 1024)  # largest pow2 divisor, capped
+            if (block, per) > best_key:
+                best, best_key = (per, block), (block, per)
     return best
 
 
@@ -115,7 +130,7 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
                                accel_fn: AccelFn = None,
                                tile_i: int = 0, tile_j: int = 0,
                                integrator: str = "euler",
-                               max_pairs_per_exec: int = MAX_PAIRS_PER_EXEC,
+                               max_pairs_per_exec: int = 0,
                                dist_dtype: str = "float32",
                                sym: bool = False,
                                interpret: bool = False,
@@ -143,6 +158,10 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
 
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
+    if not max_pairs_per_exec:  # 0 = device-derived budget
+        from ..utils import device_caps
+
+        max_pairs_per_exec = device_caps.caps().max_pairs_per_exec
     dtf = jnp.float32(dt)
     half = jnp.float32(0.5) * dtf
 
@@ -183,12 +202,13 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
 
         return block
 
-    sym_per = (
+    sym_chunk = (
         _sym_chunking(n_padded, max_pairs_per_exec)
         if sym and dist_dtype == "float32" else None
     )
-    if sym_per is not None:
-        sweep = _make_sym_chunked_sweep(n_padded, sym_per, interpret)
+    if sym_chunk is not None:
+        per, blk = sym_chunk
+        sweep = _make_sym_chunked_sweep(n_padded, per, interpret, block=blk)
         return _orchestrated_block(sweep, dtf, half, block_steps, integrator)
 
     from ..ops.pallas_kernel import (
@@ -248,6 +268,10 @@ def _make_sym_chunked_sweep(n_padded: int, per: int, interpret: bool,
     from ..ops.pallas_sym import accelerations as sym_accel
     from ..ops.pallas_sym import accelerations_two_sided
 
+    if not block:
+        # The kernels' own auto pick (1024) need not divide per when n
+        # has an odd factor; default to per's largest pow2 divisor.
+        block = min(per & -per, 1024)
     C = n_padded // per
     starts = [i * per for i in range(C)]
 

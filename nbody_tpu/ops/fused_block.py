@@ -32,8 +32,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import G_NEWTON, SOFTENING_SQUARED
+from ..utils import device_caps
 
-MAX_FUSED_N = 8192
+
+def max_fused_n() -> int:
+    """Particle ceiling for the VMEM-resident fused block: the
+    lane-padded (N,8) state buffers cost N*512 bytes each, which caps
+    N at 8192 on a 128 MB v5e (device-scaled in utils/device_caps.py)."""
+    return device_caps.caps().max_fused_n
+
+
 # Tile defaults adapt to N: the lane-padded (N,8) state buffers cost
 # N*512 bytes each (x3 resident), so larger systems get smaller pair
 # tiles to stay inside VMEM.
@@ -318,9 +326,9 @@ def fused_block(
             ti = tj = min(b, n)
         if n % ti:
             raise ValueError(f"N={n} must be divisible by block {ti}")
-        if n > MAX_FUSED_N:
+        if n > max_fused_n():
             raise ValueError(
-                f"fused block supports N <= {MAX_FUSED_N}, got {n}"
+                f"fused block supports N <= {max_fused_n()}, got {n}"
             )
         return _fused_block_rows(pos, vel, mass, dt, steps, ti, integrator,
                                  interpret)
@@ -330,8 +338,8 @@ def fused_block(
         tj = min(tile_j or auto_j, n)
     if n % ti or n % tj:
         raise ValueError(f"N={n} must be divisible by tiles ({ti},{tj})")
-    if n > MAX_FUSED_N:
-        raise ValueError(f"fused block supports N <= {MAX_FUSED_N}, got {n}")
+    if n > max_fused_n():
+        raise ValueError(f"fused block supports N <= {max_fused_n()}, got {n}")
     f32 = jnp.float32
     gm = (mass * f32(G_NEWTON)).astype(f32)
     zeros = jnp.zeros((n,), f32)

@@ -43,23 +43,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import SOFTENING_SQUARED
+from ..utils import device_caps
 from .pallas_kernel import accelerations_between, pack_particles
 
 DEFAULT_BLOCK = 1024
-# 64*N bytes of resident state (two (8,N) fp32 buffers) + ~7 (B,B) fp32
-# pair intermediates must fit VMEM.  Measured on v5e: N=1048576 compiles
-# and runs at full rate (261.7 Gpairs/s) under a 100 MB scoped-vmem
-# limit; N=2M would need 128 MB of residency alone.
-MAX_SYM_N = 1048576
+
+
+def max_sym_n() -> int:
+    """VMEM-residency particle ceiling: 64*N bytes of resident state (two
+    (8,N) fp32 buffers) + ~7 (B,B) fp32 pair intermediates must fit the
+    attached device's VMEM (utils/device_caps.py).  Measured on v5e
+    (128 MB): N=1048576 compiles and runs at full rate (261.7 Gpairs/s)
+    under a 100 MB scoped-vmem limit; N=2M would need 128 MB of
+    residency alone."""
+    return device_caps.caps().max_sym_n
 
 
 def auto_block(n: int) -> int:
     """VMEM-aware default block size for a padded particle count ``n``.
 
-    v5e VMEM is 128 MB; the (8,N) in+out residency costs 64*N bytes and
-    the b=1024 pair intermediates spill ~64 MB, so huge N drops to b=512
-    (~16 MB of spills) to stay inside the chip."""
-    return DEFAULT_BLOCK if 64 * n <= 48 * 2**20 else 512
+    The (8,N) in+out residency costs 64*N bytes and the b=1024 pair
+    intermediates spill ~64 MB, so huge N drops to b=512 (~16 MB of
+    spills) to stay inside the chip (v5e boundary: 48 MB residency —
+    the device-scaled rule lives in utils/device_caps.py)."""
+    return device_caps.caps().sym_auto_block(n)
 
 
 def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
@@ -249,12 +256,11 @@ def accelerations_two_sided(
     if not block:
         # Four (8,·) fp32 buffers resident (in+out per side) cost
         # 64*(nt+ns) bytes; with the ~28 MB of b=1024 (B,B) pair
-        # intermediates the total must stay inside the 128 MB v5e VMEM.
-        # Measured at nt=ns=524288 (67 MB residency): b=1024 compiles and
+        # intermediates the total must stay inside VMEM.  Measured on
+        # v5e at nt=ns=524288 (67 MB residency): b=1024 compiles and
         # runs 1.30x faster than b=512 (307.5 vs 237.2 Gpairs/s model in
-        # the chunked sweep); above ~80 MB drop to b=512.
-        block = (DEFAULT_BLOCK
-                 if 64 * (nt + ns) <= 80 * 2**20 else 512)
+        # the chunked sweep); above ~80 MB (5/8 of VMEM) drop to b=512.
+        block = device_caps.caps().two_sided_block(nt, ns)
     b = min(block, nt, ns)
     if nt % b or ns % b:
         raise ValueError(f"Nt={nt}, Ns={ns} must be divisible by block={b}")
@@ -277,7 +283,7 @@ def accelerations_two_sided(
         ),
         scratch_shapes=[pltpu.VMEM((b, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
+            vmem_limit_bytes=device_caps.caps().vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=11 * nt * ns,
@@ -302,7 +308,7 @@ def accelerations(
 ) -> jax.Array:
     """All-pairs self-accelerations via the pair-symmetric sweep.
     pos (3, N), mass (N,) -> (3, N) fp32.  N must be divisible by the
-    block size and <= MAX_SYM_N (everything is VMEM-resident)."""
+    block size and <= max_sym_n() (everything is VMEM-resident)."""
     del tile_j
     if jnp.dtype(dist_dtype) != jnp.float32:
         raise ValueError("pallas_sym is fp32-only (use kernel='pallas' "
@@ -313,10 +319,11 @@ def accelerations(
     b = min(block or tile_i, n)
     if n % b:
         raise ValueError(f"N={n} must be divisible by block={b}")
-    if n > MAX_SYM_N:
+    n_cap = max_sym_n()
+    if n > n_cap:
         raise ValueError(
             f"pallas_sym holds the whole problem in VMEM; N={n} exceeds "
-            f"MAX_SYM_N={MAX_SYM_N} (use kernel='pallas')"
+            f"max_sym_n()={n_cap} (use kernel='pallas')"
         )
     ps_rows = pack_particles(pos, mass)  # (8, N)
     out = pl.pallas_call(
@@ -327,7 +334,7 @@ def accelerations(
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,  # v5e physical VMEM
+            vmem_limit_bytes=device_caps.caps().vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
             flops=14 * n * n,  # ~27 ops per unordered pair

@@ -9,7 +9,7 @@ Registered kernels:
 * ``naive``      — broadcasted jnp, XLA-fused (ver0-2 analog; oracle)
 * ``pallas``     — tiled Pallas VMEM-streaming kernel (ver3-8 analog)
 * ``pallas_sym`` — pair-symmetric sweep, each unordered pair once
-  (~1.38x measured over ``pallas``; fp32, N <= MAX_SYM_N)
+  (~1.38x measured over ``pallas``; fp32, N <= pallas_sym.max_sym_n())
 * ``pallas_mxu`` — documented negative result (docs/DESIGN.md)
 * ``pm``         — particle-mesh FFT solver, O(N log N) approximate
   far-field tier (opt-in; never chosen by ``auto``)
@@ -53,7 +53,7 @@ def resolve(name: str, n: int = None, dist_dtype: str = "float32") -> str:
     if (
         n is not None
         and jnp.dtype(dist_dtype) == jnp.float32
-        and n <= pallas_sym.MAX_SYM_N
+        and n <= pallas_sym.max_sym_n()
     ):
         return "pallas_sym"
     return "pallas"
@@ -97,7 +97,7 @@ def _auto_self(pos, mass, **opts):
     if (
         jax.default_backend() == "tpu"
         and jnp.dtype(opts.get("dist_dtype", "float32")) == jnp.float32
-        and n <= pallas_sym.MAX_SYM_N
+        and n <= pallas_sym.max_sym_n()
         and n % min(block, n) == 0
     ):
         return pallas_sym.accelerations(pos, mass, block=block, **opts)
@@ -115,3 +115,6 @@ register("pallas_sym", pallas_sym.accelerations, pallas_sym.accelerations_betwee
 # Mesh-based O(N log N) far-field solver (opt-in: approximate, so `auto`
 # never selects it — the exact pair kernels are the parity surface).
 register("pm", pm.accelerations, pm.accelerations_between)
+# P3M: the mesh solver + exact short-range correction within a cutoff
+# (cell-list pair pass) — the accurate-on-clustered-ICs tier (opt-in).
+register("p3m", pm.p3m_accelerations, pm.p3m_accelerations_between)

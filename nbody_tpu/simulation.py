@@ -134,6 +134,24 @@ class _DeviceRunner(_BlockRunner):
 
         ddt = "bfloat16" if cfg.precision == "bf16" else "float32"
         resolved = resolve(cfg.kernel, n=state.n_padded, dist_dtype=ddt)
+        if resolved == "p3m" or (resolved == "pm" and cfg.pm_cutoff):
+            # P3M cell capacity is a static shape under jit, so it cannot
+            # follow the data inside the compiled block — size it here
+            # from the CONCRETE initial state (clustered cores make max
+            # occupancy wildly data-dependent; pm.suggest_capacity).
+            if not cfg.pm_capacity:
+                from .ops.pm import (
+                    DEFAULT_CUTOFF_CELLS,
+                    DEFAULT_GRID,
+                    suggest_capacity,
+                )
+
+                cfg.pm_capacity = suggest_capacity(
+                    state.pos, state.mass,
+                    cfg.pm_grid or DEFAULT_GRID,
+                    cfg.pm_cutoff or DEFAULT_CUTOFF_CELLS,
+                )
+            self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"
         else:
@@ -162,7 +180,8 @@ class _DeviceRunner(_BlockRunner):
             ]
             if cands:
                 self._online = dict(cands=cands, idx=0, results=[],
-                                    warmed=False, locked=False)
+                                    warmed=False, locked=False,
+                                    retried=False)
                 self._set_tiles(cands[0])
         if cfg.shards > 1:
             from .parallel.decompose import shard_state, make_sharded_block_fn
@@ -183,7 +202,7 @@ class _DeviceRunner(_BlockRunner):
 
             def build_sharded(steps):
                 est = self._pm_step_est()
-                if resolved == "pm" and steps * est > 30.0:
+                if resolved in ("pm", "p3m") and steps * est > 30.0:
                     # Same watchdog logic as the single-device pm branch,
                     # but in the LARGEST sub-blocks that fit the budget:
                     # each sub-block re-seeds the leapfrog acceleration,
@@ -210,12 +229,12 @@ class _DeviceRunner(_BlockRunner):
             )
         elif cfg.fused:
             from .models.gravity import make_fused_block_fn
-            from .ops.fused_block import MAX_FUSED_N
+            from .ops.fused_block import max_fused_n
 
-            if cfg.precision != "f32" or state.n_padded > MAX_FUSED_N:
+            if cfg.precision != "f32" or state.n_padded > max_fused_n():
                 raise ValueError(
                     "--fused requires f32 precision, a single device and "
-                    f"padded N <= {MAX_FUSED_N}"
+                    f"padded N <= {max_fused_n()}"
                 )
             self._block_for = lambda steps: self._cached(
                 steps,
@@ -231,7 +250,7 @@ class _DeviceRunner(_BlockRunner):
             )
 
             def build(steps):
-                if resolved == "pm":
+                if resolved in ("pm", "p3m"):
                     # Mesh steps are O(ng^3 log ng + N) — pair-count
                     # chunking doesn't apply (it would silently swap in
                     # exact kernels) — but a long sample block is still
@@ -284,19 +303,29 @@ class _DeviceRunner(_BlockRunner):
                 _, ke = main(state)
                 float(ke)
                 break
-            except Exception:
-                if not self._online or self._online["locked"]:
-                    raise
-                self._discard_candidate()  # first candidate failed; skip it
+            except Exception as e:  # noqa: BLE001 — see _candidate_failed
+                self._candidate_failed(e)  # re-raises unless retuning
 
     def _pm_step_est(self) -> float:
         """Conservative seconds-per-step estimate for the mesh solver
         (measured ~2-3x above actual on v5e), used to keep any single
-        executable well under the ~1 min runtime watchdog."""
-        from .ops.pm import DEFAULT_GRID
+        executable well under the ~1 min runtime watchdog.  P3M adds the
+        short-range candidate sweep: (2*sub+1)^3 * capacity candidate
+        evaluations per particle."""
+        from .ops.pm import DEFAULT_CUTOFF_CELLS, DEFAULT_GRID, \
+            _cell_grid_params
 
-        ng = self.cfg.pm_grid or DEFAULT_GRID
-        return 1.5e-7 * self.state.n_padded + 8e-9 * (2 * ng) ** 3
+        cfg = self.cfg
+        ng = cfg.pm_grid or DEFAULT_GRID
+        est = 1.5e-7 * self.state.n_padded + 8e-9 * (2 * ng) ** 3
+        cutoff = cfg.pm_cutoff or (
+            DEFAULT_CUTOFF_CELLS if cfg.kernel == "p3m" else 0
+        )
+        if cutoff:
+            _, sub = _cell_grid_params(ng, cutoff)
+            cands = (2 * sub + 1) ** 3 * max(cfg.pm_capacity, 64)
+            est += 2e-11 * self.state.n_padded * cands
+        return est
 
     def _cached(self, steps: int, build: Callable):
         # Keyed by tiles too: the online retuner switches tile configs
@@ -317,11 +346,34 @@ class _DeviceRunner(_BlockRunner):
         ol = self._online
         del ol["cands"][ol["idx"]]
         ol["warmed"] = False
+        ol["retried"] = False
         if ol["idx"] < len(ol["cands"]):
             self._set_tiles(ol["cands"][ol["idx"]])
         else:
             ol["locked"] = True
             self._set_tiles(min(ol["results"])[1] if ol["results"] else (0, 0))
+
+    def _candidate_failed(self, exc: Exception) -> None:
+        """Failure policy while the online retuner is active.  Transient
+        backend errors (remote-compile HTTP 500s are documented-erratic
+        on this tunnel) must not be pinned on the current tile candidate,
+        and real bugs must not be silently swallowed: each candidate gets
+        ONE retry, and a discard is logged with the triggering exception.
+        Outside retuning (or after lock-in) the exception propagates."""
+        ol = self._online
+        if not ol or ol["locked"]:
+            raise exc
+        if not ol["retried"]:
+            ol["retried"] = True
+            return
+        import sys
+
+        print(
+            f"# autotune-online: discarding tiles {ol['cands'][ol['idx']]} "
+            f"after two failures ({type(exc).__name__}: {exc})",
+            file=sys.stderr,
+        )
+        self._discard_candidate()
 
     def observe(self, block_secs: float) -> None:
         """Online per-block retuning (the reference's OpenCL tuner adjusts
@@ -337,6 +389,7 @@ class _DeviceRunner(_BlockRunner):
         ol["results"].append((block_secs, ol["cands"][ol["idx"]]))
         ol["idx"] += 1
         ol["warmed"] = False
+        ol["retried"] = False
         if ol["idx"] < len(ol["cands"]):
             self._set_tiles(ol["cands"][ol["idx"]])
         else:
@@ -354,14 +407,12 @@ class _DeviceRunner(_BlockRunner):
                 # steps between syncs).  The fetch is also where remote
                 # compile failures surface, so it stays inside the retry.
                 ke = float(ke)
-            except Exception:
-                ol = self._online
-                if not ol or ol["locked"]:
-                    raise
-                # An online-retune candidate failed (e.g. a tile config
-                # whose VMEM footprint the compiler rejects): state never
-                # advanced, so skip the candidate and rerun the block.
-                self._discard_candidate()
+            except Exception as e:  # noqa: BLE001 — see _candidate_failed
+                # A failure during online retuning: state never advanced,
+                # so retry/skip the candidate and rerun the block (the
+                # policy — one retry, logged discard — lives in
+                # _candidate_failed; outside retuning it re-raises).
+                self._candidate_failed(e)
                 continue
             self.state = state
             return ke

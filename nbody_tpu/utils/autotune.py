@@ -140,10 +140,10 @@ def _time_backward(pos, mass, ti, tj, loops, dist_dtype, interpret):
 def _time_fused(pos, mass, ti, tj, loops, dist_dtype, interpret):
     import jax
 
-    from ..ops.fused_block import MAX_FUSED_N, fused_block
+    from ..ops.fused_block import fused_block, max_fused_n
 
     n = pos.shape[1]
-    if n > MAX_FUSED_N:
+    if n > max_fused_n():
         return None
     vel = np.zeros_like(pos)
 

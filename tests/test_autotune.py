@@ -183,6 +183,56 @@ def test_autotune_online_skips_failing_candidate(monkeypatch):
         assert s == s_r and abs(ke - ke_r) <= 1e-5 * max(abs(ke_r), 1e-9)
 
 
+def test_autotune_online_retries_transient_failure(monkeypatch):
+    """Round-2 advisor: a TRANSIENT failure (the tunnel's erratic
+    remote-compile HTTP 500s) must not permanently discard the current
+    candidate — each candidate gets one retry before being dropped."""
+    from nbody_tpu.ops import pallas_kernel, registry
+
+    real = pallas_kernel.accelerations
+    calls = {"n32": 0}
+
+    def flaky_once(pos, mass, **opts):
+        if opts.get("tile_i") == 32:
+            calls["n32"] += 1
+            if calls["n32"] == 1:
+                raise RuntimeError("synthetic transient failure")
+        return real(pos, mass, **opts)
+
+    monkeypatch.setitem(
+        registry._REGISTRY, "pallas",
+        (flaky_once, pallas_kernel.accelerations_between),
+    )
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "forward", ((32, 64), (64, 64))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=250, sfreq=50, kernel="pallas",
+                    interpret=True, autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    # the candidate was retried after the transient failure (called again)
+    assert calls["n32"] >= 2
+
+
+def test_pm_rejects_bf16():
+    """Round-2 advisor: '--kernel pm --precision bf16' used to silently
+    run fp32 while reporting bf16; it must be rejected."""
+    import pytest
+
+    from nbody_tpu.config import SimConfig
+
+    with pytest.raises(ValueError, match="fp32-only"):
+        SimConfig(kernel="pm", precision="bf16")
+    # the post-construction mutation path is caught too
+    cfg = SimConfig(kernel="pm")
+    cfg.precision = "bf16"
+    with pytest.raises(ValueError, match="fp32-only"):
+        cfg.kernel_opts()
+
+
 def test_fused_candidates_include_sym():
     """The fused sweep must be able to pick the rows-sym kernel (square
     tiles select it); an all-rectangular list would lock autotuned runs

@@ -7,7 +7,7 @@ from nbody_tpu.config import SimConfig
 from nbody_tpu.init import make_state
 from nbody_tpu.models.gravity import make_accel_fn, make_fused_block_fn
 from nbody_tpu.models.integrators import make_block_fn
-from nbody_tpu.ops.fused_block import MAX_FUSED_N, fused_block
+from nbody_tpu.ops.fused_block import fused_block, max_fused_n
 
 
 def test_fused_matches_unfused():
@@ -69,7 +69,7 @@ def test_fused_tile_j_only_is_honored():
 
 
 def test_fused_size_guard():
-    state = make_state(MAX_FUSED_N + 512)
+    state = make_state(max_fused_n() + 512)
     with pytest.raises(ValueError):
         fused_block(state.pos, state.vel, state.mass, 0.1, 1, interpret=True)
 

@@ -176,12 +176,45 @@ def test_sym_chunked_sweep_matches_naive():
     from nbody_tpu.ops import naive
 
     state = make_state(700, pad_multiple=256)  # n_padded=768, 3 chunks
-    per = _sym_chunking(state.n_padded, max_pairs=256 * 256)
+    per, block = _sym_chunking(state.n_padded, max_pairs=256 * 256)
     assert per == 256 and state.n_padded // per == 3
-    sweep = _make_sym_chunked_sweep(state.n_padded, per, interpret=True)
+    assert per % block == 0
+    sweep = _make_sym_chunked_sweep(state.n_padded, per, interpret=True,
+                                    block=block)
     acc = np.asarray(sweep(state.pos, state.mass))
     ref = np.asarray(naive.accelerations(state.pos, state.mass))
     err = np.linalg.norm(acc - ref) / np.linalg.norm(ref)
     assert err < 5e-6, err
     # zero-mass padding stays force-neutral
     assert np.all(acc[:, state.n:] == 0.0)
+
+
+def test_sym_chunking_odd_factor_block_divides():
+    """Regression (round-2 advisor): padded N with an odd factor used to
+    pick per > 1024 not divisible by the kernels' auto block (1024) and
+    crash at runtime; the chunking must now return a block that divides
+    per, and the sweep must run."""
+    import numpy as np
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import _make_sym_chunked_sweep, _sym_chunking
+    from nbody_tpu.ops import naive
+
+    # n=4608 = 2^9 * 3^2: divisors allow per=2304 (pow2 part 256) etc.
+    per, block = _sym_chunking(4608, max_pairs=1 << 40)
+    assert per % block == 0 and per % 128 == 0 and 4608 % per == 0
+    assert block <= 1024 and block >= 128
+
+    # And the full sweep runs (small odd-factor case, 384 = 128*3: the
+    # auto block 1024 would not divide per=384... exercised end to end).
+    state = make_state(380, pad_multiple=384)  # n_padded = 384
+    chunk = _sym_chunking(state.n_padded, max_pairs=128 * 384)
+    assert chunk is not None
+    per, block = chunk
+    assert per % block == 0
+    sweep = _make_sym_chunked_sweep(state.n_padded, per, interpret=True,
+                                    block=block)
+    acc = np.asarray(sweep(state.pos, state.mass))
+    ref = np.asarray(naive.accelerations(state.pos, state.mass))
+    err = np.linalg.norm(acc - ref) / np.linalg.norm(ref)
+    assert err < 5e-6, err
