@@ -7,9 +7,12 @@ token is echoed to stdout, cpu_ratio is accepted for CLI parity, and the
 thread dims map onto kernel tile sizes).
 
 TPU-native options replace the reference's compile-time #define matrix:
-    --kernel {naive,pallas,pallas_sym,pallas_mxu,pm,auto}  force-kernel
+    --kernel {naive,pallas,pallas_sym,pallas_mxu,pm,p3m,auto}  force-kernel
                                    backend (ARCH= analog); pm = O(N log N)
-                                   mesh solver (--pm-grid), approximate
+                                   mesh solver (--pm-grid), approximate;
+                                   p3m = pm + exact short-range correction
+                                   (--pm-cutoff/--pm-capacity), accurate
+                                   on clustered distributions
     --precision {f32,bf16,ref64}   numeric mode (ref64 = bit-exact oracle)
     --integrator {euler,leapfrog}  parity default / symplectic option
     --shards K --comm {allgather,ring,rdma}  GSPMD particle decomposition
@@ -48,11 +51,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dim1", nargs="?", type=int, default=0)
     p.add_argument("--kernel", default="auto",
                    choices=["naive", "pallas", "pallas_sym", "pallas_mxu",
-                            "pm", "auto"])
+                            "pm", "p3m", "auto"])
     p.add_argument("--pm-grid", type=int, default=0, metavar="NG",
                    help="particle-mesh grid points per axis for "
-                        "--kernel pm (default 128; O(N log N) approximate "
-                        "far-field tier)")
+                        "--kernel pm/p3m (default 128; O(N log N) "
+                        "approximate far-field tier)")
+    p.add_argument("--pm-cutoff", type=int, default=0, metavar="A",
+                   help="P3M short-range split radius in grid spacings "
+                        "(default 4 for --kernel p3m; the accuracy knob: "
+                        "error ~ A^-3, short-range cost ~ A^3)")
+    p.add_argument("--pm-capacity", type=int, default=0, metavar="C",
+                   help="P3M cell-list slots per cell (default: sized "
+                        "from the initial state's max cell occupancy; "
+                        "overflowing cells fall back to mesh-quality "
+                        "forces)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
@@ -170,6 +182,7 @@ def main(argv=None) -> int:
         seed=args.seed, energy_check=args.energy_check,
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, pm_grid=args.pm_grid,
+        pm_cutoff=args.pm_cutoff, pm_capacity=args.pm_capacity,
         autotune=args.autotune,
         autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,

@@ -21,6 +21,29 @@ kernel f.  The method (Hockney & Eastwood's isolated-boundary PM):
 3. **CIC gather** — trilinear interpolation of the acceleration grids
    back at each particle position.
 
+**P3M** (``cutoff_cells > 0``; the ``p3m`` registry entry) upgrades the
+one-level solver with Hockney & Eastwood's particle-particle
+correction, in three exact-split pieces:
+
+* the force is split f = f*S + f*(1-S) with a C^2 taper S(r^2/R_c^2)
+  (_taper) — an exact identity, so no modeling error is introduced;
+* the mesh solves the SMOOTH tapered part (plus, for cell-capacity
+  overflow, the complement kernel — see below), with the CIC assignment
+  window deconvolved in k-space (_cic_sharpen) so the mesh part is
+  accurate to well beyond the taper scale;
+* the compact-support residual (r < R_c ~ cutoff_cells grid spacings)
+  is summed EXACTLY over a capacity-padded cell list (_cell_table /
+  _short_range — the JAX-MD static-shape idiom; sort by cell id, take
+  the first ``capacity`` per cell, sweep the (2*sub+1)^3 neighborhood).
+
+Sources overflowing a cell's capacity are deposited on a second grid
+convolved with the complement (short-range) kernel spectra: they get a
+mesh-quality FULL force, so accuracy degrades toward plain PM, never
+below it.  Measured (tests/test_p3m.py, docs/DESIGN.md "P3M"): Plummer
+N=8192 rel L2 force error 0.43/0.18 (pm, ng=64/128) -> 4.3e-3/3.1e-3
+(p3m); error scales ~ cutoff_cells^-3 (the accuracy knob), short-range
+cost ~ cutoff_cells^3.
+
 Why this is a good fit for the reference's force law: the softening
 eps = sqrt(1e-3) ~ 0.032 is LARGE compared to a 128-grid spacing of the
 unit initial box (h ~ 0.008), so the pair force is smooth on the grid
@@ -65,6 +88,25 @@ import jax.numpy as jnp
 from ..types import G_NEWTON, SOFTENING_SQUARED
 
 DEFAULT_GRID = 128
+# P3M split radius in CELL-LIST cells (R_c = cutoff_cells grid spacings,
+# roughly): the short-range pass computes the exact softened residual for
+# pairs closer than R_c, the mesh solves the tapered (smooth) remainder.
+DEFAULT_CUTOFF_CELLS = 4
+
+
+def _taper(q: jax.Array) -> jax.Array:
+    """C^2 smoothstep S(q) in q = r^2/R_c^2: 0 at r=0, 1 at r>=R_c.
+
+    The P3M force split is the exact identity
+        f(r) = f(r)*S(q) + f(r)*(1 - S(q)),
+    with the first (long-range) term solved on the mesh — S kills the
+    sharp softened core, so f*S varies on the R_c scale the grid
+    resolves — and the second (short-range, compact support r < R_c)
+    term summed exactly over cell-list neighbors.  Working in q = r^2
+    avoids a sqrt per pair: S is the quintic smoothstep in q, giving
+    C^2 smoothness in r^2 (and ~r^6 flatness at the origin)."""
+    q = jnp.clip(q, 0.0, 1.0)
+    return q * q * q * (q * (q * 6.0 - 15.0) + 10.0)
 
 
 def _cic_weights(pos, lo, inv_h, ng):
@@ -115,13 +157,38 @@ def _gather(grids, pos, lo, inv_h, ng):
     return out
 
 
-def _force_kernel_spectra(h, ng):
+def _cic_sharpen(ng: int):
+    """Inverse squared CIC assignment window on the doubled grid —
+    the Hockney & Eastwood influence-function compensation.  Deposit and
+    gather each convolve with the CIC (order-2 B-spline) window, whose
+    per-axis spectrum is sinc^2(pi f); dividing the force-kernel spectra
+    by W^2 = prod_axis sinc^4 undoes that smoothing to leading order,
+    removing the resolution-independent (h/R_c)^2 error floor of the
+    tapered P3M kernel (measured: Plummer ng=128 1.7e-2 -> see
+    docs/DESIGN.md).  The window is even and real, so the compensated
+    kernel stays exactly antisymmetric: momentum conservation and zero
+    self-force are untouched."""
+    m = 2 * ng
+    j = jnp.arange(m)
+    jt = jnp.minimum(j, m - j).astype(jnp.float32)  # |signed freq index|
+    x = jnp.pi * jt / m
+    sinc = jnp.where(jt == 0, jnp.float32(1.0), jnp.sin(x) / x)
+    inv = 1.0 / jnp.maximum(sinc, 1e-3) ** 4  # 1 / sinc^4 per axis
+    return inv[:, None, None] * inv[None, :, None] * inv[None, None, :]
+
+
+def _force_kernel_spectra(h, ng, rc2=None, complement=False, sharpen=False):
     """fftn spectra of the three Plummer-softened force-kernel components
     sampled on the doubled (2ng)^3 grid with signed wraparound
     displacements (Hockney open-boundary convolution kernel).
 
     ``h`` is the (3,) per-axis grid spacing (traced — the kernel follows
-    the particles' bounding box).
+    the particles' bounding box).  With ``rc2`` (P3M mode) the sampled
+    kernel is the tapered LONG-RANGE part f*S(r^2/rc2) only — smooth on
+    the R_c scale, so CIC error collapses; the sub-R_c remainder is the
+    short-range pass's job (see _taper).  ``complement=True`` samples the
+    SHORT-RANGE part f*(1-S) instead — used to give capacity-overflowed
+    sources a mesh-quality full force rather than a truncated one.
 
     Full-complex transforms on purpose: this TPU backend's ``irfftn`` is
     NON-DETERMINISTIC and ~0.17 off from CPU at these sizes (measured,
@@ -135,13 +202,17 @@ def _force_kernel_spectra(h, ng):
     rx = (d * h[0])[:, None, None]
     ry = (d * h[1])[None, :, None]
     rz = (d * h[2])[None, None, :]
-    r2 = rx * rx + ry * ry + rz * rz + jnp.float32(SOFTENING_SQUARED)
-    u = jax.lax.rsqrt(r2)
+    r2 = rx * rx + ry * ry + rz * rz
+    u = jax.lax.rsqrt(r2 + jnp.float32(SOFTENING_SQUARED))
     u3 = u * u * u  # 1 / (r^2 + eps^2)^{3/2}
+    if rc2 is not None:
+        s = _taper(r2 / rc2)
+        u3 = u3 * (jnp.float32(1.0) - s if complement else s)
+    w = _cic_sharpen(ng) if sharpen else jnp.float32(1.0)
     return (
-        jnp.fft.fftn(rx * u3),
-        jnp.fft.fftn(ry * u3),
-        jnp.fft.fftn(rz * u3),
+        jnp.fft.fftn(rx * u3) * w,
+        jnp.fft.fftn(ry * u3) * w,
+        jnp.fft.fftn(rz * u3) * w,
     )
 
 
@@ -157,11 +228,15 @@ def _robust_box(pos, mass):
       particles at many core-radii; an exact bounding box over them
       under-resolves the core just as badly (measured: 0.96 rel force
       error on Plummer ICs with an exact box).  The box is therefore the
-      inner-99% percentile span per axis, expanded by one span on each
-      side and clipped to the exact extent: for compact distributions it
-      IS the exact bounding box (nothing changes), while tail particles
-      fall outside and are handled analytically by the monopole far
-      field (see accelerations_between).
+      inner-99% percentile span per axis, expanded by a quarter-span on
+      each side and clipped to the exact extent: for compact
+      distributions it IS the exact bounding box (nothing changes),
+      while tail particles fall outside and are handled analytically by
+      the monopole far field (see accelerations_between).  (Round 2
+      expanded by a WHOLE span; the quarter-span box resolves the
+      Plummer core ~2x finer — measured: pm ng=64 error 0.38 -> 0.24 —
+      and is what makes the P3M cell list's occupancy tractable, while
+      still dwarfing the subsample quantile noise.)
     """
     real = mass[None, :] > 0
     big = jnp.float32(3e38)
@@ -169,22 +244,183 @@ def _robust_box(pos, mass):
     hi_exact = jnp.max(jnp.where(real, pos, -big), axis=1, keepdims=True)
     # Percentiles on a strided subsample: a 0.5% quantile needs only
     # ~64k samples, and full-N sorts cost ~11 ms/step at N=1M (measured).
-    # The box is expanded by a whole span and clipped to the exact
+    # The box is expanded by a quarter span and clipped to the exact
     # extent, so subsampling noise in the quantile estimate is harmless.
     stride = max(1, pos.shape[1] // 65536)
     nanpos = jnp.where(real[:, ::stride], pos[:, ::stride], jnp.nan)
     q = jnp.nanpercentile(nanpos, jnp.asarray([0.5, 99.5]), axis=1)  # (2,3)
-    q_lo, q_hi = q[0][:, None], q[1][:, None]
-    span_q = q_hi - q_lo
+    return _box_from_stats(lo_exact, hi_exact, q[0][:, None], q[1][:, None])
+
+
+def _box_from_stats(lo_exact, hi_exact, q_lo, q_hi):
+    """The robust-box formula from its four per-axis statistics:
+    quarter-span-expanded quantile box, clipped to the exact extent."""
+    span_q = jnp.float32(0.25) * (q_hi - q_lo)
     lo = jnp.maximum(lo_exact, q_lo - span_q)
     hi = jnp.minimum(hi_exact, q_hi + span_q)
     return lo, jnp.maximum(hi, lo + jnp.float32(1e-6))
+
+
+def _robust_box_sharded(pos_l, mass_l, axis):
+    """_robust_box for a particle-sharded state inside shard_map: exact
+    extents via pmin/pmax, quantiles on an all-gathered strided
+    subsample (bounded at ~64k samples TOTAL across shards — the only
+    position traffic the sharded mesh solve has)."""
+    from jax import lax
+
+    real = mass_l[None, :] > 0
+    big = jnp.float32(3e38)
+    lo_exact = lax.pmin(
+        jnp.min(jnp.where(real, pos_l, big), axis=1, keepdims=True), axis
+    )
+    hi_exact = lax.pmax(
+        jnp.max(jnp.where(real, pos_l, -big), axis=1, keepdims=True), axis
+    )
+    k = lax.axis_size(axis)
+    stride = max(1, (k * pos_l.shape[1]) // 65536)
+    nanpos = jnp.where(real[:, ::stride], pos_l[:, ::stride], jnp.nan)
+    allsub = lax.all_gather(nanpos, axis, axis=1, tiled=True)
+    q = jnp.nanpercentile(allsub, jnp.asarray([0.5, 99.5]), axis=1)
+    return _box_from_stats(lo_exact, hi_exact, q[0][:, None], q[1][:, None])
 
 
 def _inside(pos, lo, hi):
     """(N,) f32 mask: 1 where the particle is inside the mesh box."""
     ok = jnp.all((pos >= lo) & (pos <= hi), axis=0)
     return ok.astype(jnp.float32)
+
+
+def _cell_grid_params(ng: int, cutoff_cells: int) -> tuple[int, int]:
+    """Cell-list geometry for the short-range pass: ``nc`` cells per axis
+    and the neighbor reach ``sub`` (candidates come from the
+    (2*sub+1)^3 neighborhood).  R_c = sub * cell_side ~ cutoff_cells
+    mesh spacings; containment (every pair within R_c inside the
+    neighborhood) holds by construction.  Coarse meshes get sub=2 —
+    half-R_c cells with a +-2 reach — which checks a (5/2)^3 ~ 2x
+    SMALLER candidate volume than 27 full cells AND halves the
+    per-cell occupancy skew.  nc is capped so the (nc^3, cap) index
+    table stays modest."""
+    sub = 1 if ng // int(cutoff_cells) >= 24 else 2
+    nc = max(2, (sub * ng) // int(cutoff_cells))
+    return min(nc, 40), sub
+
+
+def _auto_capacity(n_src: int, n_cells: int) -> int:
+    """Static per-cell slot count fallback when the caller gives none:
+    ~8x the average occupancy, power-of-two, in [64, 512].  DENSITY-BLIND
+    — heavy-tailed cores overflow it; callers with concrete data (the
+    simulation engine at block-build time, diagnostics) should use
+    suggest_capacity instead.  Overflow degrades gracefully: overflowed
+    particles keep a mesh-quality FULL force via the complement-kernel
+    deposit (see accelerations_between), they just lose short-range
+    exactness — see cell_overflow_fraction for the diagnostic."""
+    avg = max(1, n_src // max(n_cells, 1))
+    cap = 64
+    while cap < 8 * avg and cap < 512:
+        cap *= 2
+    return cap
+
+
+def _cell_coords(pos, lo_box, inv_c, nc):
+    """Integer cell coordinates (3, N) on the nc^3 cell grid over the
+    mesh box (positions clipped into the grid; out-of-box masking is the
+    caller's job via the `inside` masks)."""
+    g = jnp.clip((pos - lo_box) * inv_c, 0.0, float(nc) - 1.0)
+    return jnp.floor(g).astype(jnp.int32)
+
+
+def _cell_table(cid_src, n_cells: int, cap: int):
+    """Capacity-padded cell list (the JAX-MD idiom — static shapes for
+    XLA): sort source indices by cell id, take the first ``cap`` per
+    cell.  ``cid_src`` is (Ns,) int32 in [0, n_cells], where the value
+    ``n_cells`` marks EXCLUDED sources (out-of-box or zero-mass).
+
+    Returns ``(table, binned)``: ``table`` (n_cells + 1, cap) int32 of
+    source indices, padded with the sentinel Ns (callers append a
+    zero-mass slot there), last row all-sentinel (serves invalid
+    neighbor-cell lookups); ``binned`` (Ns,) bool — False for excluded
+    or capacity-overflowed sources."""
+    ns = cid_src.shape[0]
+    order = jnp.argsort(cid_src).astype(jnp.int32)
+    sc = cid_src[order]
+    cells = jnp.arange(n_cells, dtype=sc.dtype)
+    starts = jnp.searchsorted(sc, cells, side="left")
+    rank = jnp.arange(ns, dtype=jnp.int32) - starts[
+        jnp.clip(sc, 0, n_cells - 1)
+    ]
+    valid = (sc < n_cells) & (rank < cap)
+    slot = jnp.clip(sc, 0, n_cells - 1) * cap + rank
+    dump = n_cells * cap  # one extra slot absorbing all invalid writes
+    slot = jnp.where(valid, slot, dump)
+    flat = jnp.full((n_cells * cap + 1,), ns, jnp.int32).at[slot].set(order)
+    table = jnp.concatenate(
+        [flat[:-1], jnp.full((cap,), ns, jnp.int32)]
+    ).reshape(n_cells + 1, cap)
+    binned = jnp.zeros((ns,), bool).at[order].set(valid)
+    return table, binned
+
+
+def _neighbor_offsets(sub: int):
+    r = range(-sub, sub + 1)
+    return tuple((ox, oy, oz) for ox in r for oy in r for oz in r)
+
+
+def _short_range(pos_tgt, in_tgt, coords_t, table, pos_src_ext, msrc_ext,
+                 nc: int, cap: int, rc2, sub: int = 1):
+    """Exact short-range residual accelerations (no G factor):
+
+        a_i = sum_j m_j (r_j - r_i) (|r|^2+eps^2)^{-3/2} (1 - S(r^2/rc2))
+
+    summed over the (2*sub+1)^3-cell neighborhood of each IN-BOX target.
+    The taper's compact support (1-S = 0 at r >= R_c) plus
+    R_c <= sub * cell side guarantee every contributing pair is inside
+    the neighborhood, so the sum is exact over BINNED sources (overflowed
+    ones are handled on the mesh by the complement kernel).  Self term:
+    dx = 0 makes it exactly zero under softening (never mask the
+    diagonal).
+
+    Target-centric and chunked (lax.map) so the live intermediates stay
+    at (3, CT, cap) per neighbor offset regardless of N; each target
+    costs (2*sub+1)^3 * cap candidate evaluations (~12 VPU ops each)."""
+    f32 = jnp.float32
+    eps2 = f32(SOFTENING_SQUARED)
+    n_cells = nc * nc * nc
+    nt = pos_tgt.shape[1]
+    ct = min(2048, max(128, nt))
+    pad = (-nt) % ct
+    if pad:
+        pos_tgt = jnp.pad(pos_tgt, ((0, 0), (0, pad)))
+        in_tgt = jnp.pad(in_tgt, (0, pad))
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, pad)))
+    nb = (nt + pad) // ct
+
+    def chunk_body(args):
+        pt, ctc, mt = args  # (3, CT), (3, CT), (CT,)
+        acc = jnp.zeros((3, ct), f32)
+        for off in _neighbor_offsets(sub):
+            nbc = ctc + jnp.asarray(off, jnp.int32)[:, None]  # (3, CT)
+            ok = jnp.all((nbc >= 0) & (nbc < nc), axis=0)  # (CT,)
+            ncid = (nbc[0] * nc + nbc[1]) * nc + nbc[2]
+            ncid = jnp.where(ok, ncid, n_cells)  # all-sentinel row
+            idx = table[ncid]  # (CT, cap)
+            ps = pos_src_ext[:, idx]  # (3, CT, cap)
+            ms = msrc_ext[idx]  # (CT, cap); sentinel slots are zero-mass
+            d = ps - pt[:, :, None]
+            r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            u = jax.lax.rsqrt(r2 + eps2)
+            w = ms * (f32(1.0) - _taper(r2 / rc2)) * (u * u * u)
+            acc = acc + jnp.sum(w[None, :, :] * d, axis=2)
+        return acc * mt[None, :]
+
+    acc = jax.lax.map(
+        chunk_body,
+        (
+            pos_tgt.reshape(3, nb, ct).transpose(1, 0, 2),
+            coords_t.reshape(3, nb, ct).transpose(1, 0, 2),
+            in_tgt.reshape(nb, ct),
+        ),
+    )  # (nb, 3, CT)
+    return acc.transpose(1, 0, 2).reshape(3, nt + pad)[:, :nt]
 
 
 def _monopole(pos_tgt, m_tot, com):
@@ -202,6 +438,8 @@ def accelerations_between(
     pos_src: jax.Array,
     mass_src: jax.Array,
     grid: int = DEFAULT_GRID,
+    cutoff_cells: int = 0,
+    capacity: int = 0,
     **_opts,
 ) -> jax.Array:
     """Mesh-solved accelerations of targets due to sources.
@@ -219,9 +457,20 @@ def accelerations_between(
       com_in) instead of a mesh gather.
 
     For compact distributions the box equals the exact bounding box and
-    both monopole terms vanish — the solve is pure mesh.  Extra registry
-    options (tiles, interpret, dist_dtype) are accepted and ignored —
-    the solver is fp32 and has no Pallas tiling."""
+    both monopole terms vanish — the solve is pure mesh.
+
+    ``cutoff_cells > 0`` enables the P3M short-range correction: the
+    force is split exactly into a tapered long-range part solved on the
+    mesh and a compact-support residual (r < R_c ~ cutoff_cells grid
+    spacings) summed exactly over a capacity-padded cell list (see
+    _taper / _short_range).  This is what makes CLUSTERED distributions
+    accurate — one-level PM mesh-smooths close pairs (Plummer: 0.18 rel
+    force error at ng=128), while P3M computes them exactly.
+    ``capacity`` is the per-cell source slot count (0 = auto; see
+    _auto_capacity and cell_overflow_fraction).
+
+    Extra registry options (tiles, interpret, dist_dtype) are accepted
+    and ignored — the solver is fp32 and has no Pallas tiling."""
     ng = int(grid)
     if ng < 8:
         # ng - 3 usable cells must be positive (ng <= 3 divides by zero
@@ -270,34 +519,297 @@ def accelerations_between(
     # Full-complex transforms — see _force_kernel_spectra for why
     # (this backend's irfftn is non-deterministic and inaccurate).
     rho_hat = jnp.fft.fftn(rho, s=(m, m, m))
-    kx, ky, kz = _force_kernel_spectra(h, ng)
+    if cutoff_cells:
+        # P3M: bin the in-box sources first — the mesh then solves the
+        # tapered long-range kernel for everyone, PLUS the complement
+        # (short-range) kernel for the capacity-OVERFLOWED mass, whose
+        # exact pair sum the cell list cannot cover: overflowed sources
+        # thus contribute a mesh-quality FULL force (pure-PM accuracy)
+        # instead of a truncated one — accuracy degrades toward PM,
+        # never below it.
+        nc, sub = _cell_grid_params(ng, cutoff_cells)
+        n_cells = nc * nc * nc
+        cap = int(capacity) or _auto_capacity(pos_src.shape[1], n_cells)
+        rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
+        rc2 = rc * rc
+        inv_c = f32(nc) / span  # (3, 1)
+        co_s = _cell_coords(pos_src, lo_box, inv_c, nc)
+        cid_src = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
+        cid_src = jnp.where(m_in > 0, cid_src, n_cells)  # exclude out/0-mass
+        table, binned = _cell_table(cid_src, n_cells, cap)
+        m_over = jnp.where(binned, f32(0), m_in)
+        rho_over_hat = jnp.fft.fftn(
+            _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)
+        )
+        kx, ky, kz = _force_kernel_spectra(h, ng, rc2=rc2, sharpen=True)
+        sx, sy, sz = _force_kernel_spectra(h, ng, rc2=rc2, complement=True,
+                                           sharpen=True)
+        gx = rho_hat * kx + rho_over_hat * sx
+        gy = rho_hat * ky + rho_over_hat * sy
+        gz = rho_hat * kz + rho_over_hat * sz
+    else:
+        kx, ky, kz = _force_kernel_spectra(h, ng)
+        gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
     # a(c) = sum_{c'} rho(c') f(c' - c) = -(rho * f)(c) for antisymmetric f
     acc_grids = jnp.stack([
-        -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
     ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
+    if cutoff_cells:
+        co_t = _cell_coords(pos_tgt, lo_box, inv_c, nc)
+        pos_src_ext = jnp.concatenate(
+            [pos_src, jnp.zeros((3, 1), f32)], axis=1
+        )
+        m_binned = jnp.where(binned, m_in, f32(0))
+        msrc_ext = jnp.concatenate([m_binned, jnp.zeros((1,), f32)])
+        acc = acc + _short_range(
+            pos_tgt, in_tgt, co_t, table, pos_src_ext, msrc_ext, nc, cap,
+            rc2, sub,
+        )
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
     for M_k, com_k in zip(oct_masses, oct_coms):
         acc = acc + _monopole(pos_tgt, M_k, com_k)
     return (acc * f32(G_NEWTON)).astype(f32)
 
 
+def sharded_accelerations(
+    pos_l: jax.Array,
+    mass_l: jax.Array,
+    axis: str,
+    grid: int = DEFAULT_GRID,
+    cutoff_cells: int = 0,
+    capacity: int = 0,
+    **_opts,
+) -> jax.Array:
+    """Distributed mesh solve for a particle-sharded state — call INSIDE
+    shard_map over mesh axis ``axis`` (parallel/decompose.py wires it).
+
+    TPU-native decomposition of the deposit/solve/gather pipeline.  The
+    round-2 sharded pm all-gathered positions and had EVERY shard
+    deposit all N sources and FFT the full grid — K shards did K x the
+    single-device work (the anti-scalable replicate-and-recompute axis
+    of the reference, ver5_all/GSimulation.cpp:170-214).  Here the mesh
+    itself is the reduction:
+
+    * box: pmin/pmax exact extents + quantiles of a ~64k-sample gathered
+      subsample (_robust_box_sharded) — O(1) comm;
+    * deposit: each shard scatters its LOCAL sources only, then ONE
+      ``lax.psum`` of the (ng,ng,ng) mass grid — per-shard work O(N/K),
+      comm one 4*ng^3-byte grid over ICI (8 MB at ng=128);
+    * FFT convolution: replicated per shard — O(ng^3 log ng) is cheap
+      and replication avoids resharding the spectra;
+    * gather + monopole moments: local targets, psum'd octant sums.
+
+    P3M (``cutoff_cells > 0``): the mesh half stays local+psum; the
+    exact short-range pass all-gathers sources ONCE per step — the
+    particle axis is INDEX-sharded, not spatial, so a local cell list
+    would miss cross-shard neighbor pairs.  The SR pair sweep itself
+    serves only LOCAL targets (O(N/K * candidates) per shard); the
+    replicated residue is the table sort and the overflow deposit."""
+    from jax import lax
+
+    ng = int(grid)
+    if ng < 8:
+        raise ValueError(f"pm grid must be >= 8, got {ng}")
+    f32 = jnp.float32
+    pos_l = pos_l.astype(f32)
+    mass_l = mass_l.astype(f32)
+
+    def psum(x):
+        return lax.psum(x, axis)
+
+    lo_box, hi_box = _robust_box_sharded(pos_l, mass_l, axis)
+    span = hi_box - lo_box
+    in_l = _inside(pos_l, lo_box, hi_box)
+    m_in_l = mass_l * in_l
+    m_out_l = mass_l - m_in_l
+    tiny = f32(1e-30)
+    M_in = psum(jnp.sum(m_in_l))
+    com_in = psum(
+        (pos_l * m_in_l).sum(axis=1, keepdims=True)
+    ) / jnp.maximum(M_in, tiny)
+    # Per-octant outlier monopoles (see accelerations_between) — local
+    # moments, psum'd.
+    ctr = 0.5 * (lo_box + hi_box)
+    side = (pos_l > ctr).astype(jnp.int32)
+    oct_id = side[0] * 4 + side[1] * 2 + side[2]
+    oct_masses, oct_coms = [], []
+    for k in range(8):
+        m_k = m_out_l * (oct_id == k).astype(f32)
+        M_k = psum(jnp.sum(m_k))
+        S_k = psum((pos_l * m_k).sum(axis=1, keepdims=True))
+        oct_masses.append(M_k)
+        oct_coms.append(S_k / jnp.maximum(M_k, tiny))
+
+    h = (span / f32(ng - 3))[:, 0]
+    inv_h = 1.0 / h[:, None]
+    lo = lo_box - h[:, None]
+
+    rho = psum(_deposit(pos_l, m_in_l, lo, inv_h, ng))
+    m = 2 * ng
+    rho_hat = jnp.fft.fftn(rho, s=(m, m, m))
+    if cutoff_cells:
+        nl = pos_l.shape[1]
+        pos_all = lax.all_gather(pos_l, axis, axis=1, tiled=True)
+        m_in_all = lax.all_gather(m_in_l, axis, axis=0, tiled=True)
+        nc, sub = _cell_grid_params(ng, cutoff_cells)
+        n_cells = nc * nc * nc
+        cap = int(capacity) or _auto_capacity(pos_all.shape[1], n_cells)
+        rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
+        rc2 = rc * rc
+        inv_c = f32(nc) / span
+        co_s = _cell_coords(pos_all, lo_box, inv_c, nc)
+        cid = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
+        cid = jnp.where(m_in_all > 0, cid, n_cells)
+        table, binned = _cell_table(cid, n_cells, cap)
+        # This shard's slice of the global binned flags -> its share of
+        # the overflow deposit stays local (then one psum like rho).
+        i0 = lax.axis_index(axis) * nl
+        binned_l = lax.dynamic_slice(binned, (i0,), (nl,))
+        m_over_l = jnp.where(binned_l, f32(0), m_in_l)
+        rho_over_hat = jnp.fft.fftn(
+            psum(_deposit(pos_l, m_over_l, lo, inv_h, ng)), s=(m, m, m)
+        )
+        kx, ky, kz = _force_kernel_spectra(h, ng, rc2=rc2, sharpen=True)
+        sx, sy, sz = _force_kernel_spectra(h, ng, rc2=rc2, complement=True,
+                                           sharpen=True)
+        gx = rho_hat * kx + rho_over_hat * sx
+        gy = rho_hat * ky + rho_over_hat * sy
+        gz = rho_hat * kz + rho_over_hat * sz
+    else:
+        kx, ky, kz = _force_kernel_spectra(h, ng)
+        gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
+    acc_grids = jnp.stack([
+        -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
+        -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
+    ])
+    acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
+    if cutoff_cells:
+        co_t = _cell_coords(pos_l, lo_box, inv_c, nc)
+        pos_src_ext = jnp.concatenate(
+            [pos_all, jnp.zeros((3, 1), f32)], axis=1
+        )
+        m_binned = jnp.where(binned, m_in_all, f32(0))
+        msrc_ext = jnp.concatenate([m_binned, jnp.zeros((1,), f32)])
+        acc = acc + _short_range(
+            pos_l, in_l, co_t, table, pos_src_ext, msrc_ext, nc, cap,
+            rc2, sub,
+        )
+    acc = jnp.where(in_l > 0, acc, _monopole(pos_l, M_in, com_in))
+    for M_k, com_k in zip(oct_masses, oct_coms):
+        acc = acc + _monopole(pos_l, M_k, com_k)
+    return (acc * f32(G_NEWTON)).astype(f32)
+
+
 def accelerations(
-    pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID, **_opts
+    pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = 0, capacity: int = 0, **_opts
 ) -> jax.Array:
     """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N)."""
-    return accelerations_between(pos, pos, mass, grid=grid)
+    return accelerations_between(pos, pos, mass, grid=grid,
+                                 cutoff_cells=cutoff_cells,
+                                 capacity=capacity)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def force_error_vs_exact(pos, mass, grid: int = DEFAULT_GRID):
-    """Relative L2 force error of the mesh solve vs the exact all-pairs
-    kernel (diagnostic used by tests and docs measurements)."""
+def p3m_accelerations(
+    pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0, **_opts
+) -> jax.Array:
+    """The ``p3m`` registry entry: the mesh solver with the short-range
+    correction ON by default (accurate on clustered distributions)."""
+    return accelerations_between(
+        pos, pos, mass, grid=grid,
+        cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
+        capacity=capacity,
+    )
+
+
+def p3m_accelerations_between(
+    pos_tgt: jax.Array, pos_src: jax.Array, mass_src: jax.Array,
+    grid: int = DEFAULT_GRID, cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
+    capacity: int = 0, **_opts,
+) -> jax.Array:
+    return accelerations_between(
+        pos_tgt, pos_src, mass_src, grid=grid,
+        cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
+        capacity=capacity,
+    )
+
+
+def _cell_counts(pos, mass, grid: int, cutoff_cells: int):
+    """Per-cell in-box massive-particle counts (n_cells,) for the P3M
+    cell list, plus the in-box count (both int32)."""
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    lo_box, hi_box = _robust_box(pos, mass)
+    nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
+    n_cells = nc * nc * nc
+    span = hi_box - lo_box
+    m_in = mass * _inside(pos, lo_box, hi_box)
+    co = _cell_coords(pos, lo_box, (f32(nc) / span), nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    cid = jnp.where(m_in > 0, cid, n_cells)
+    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(1)[:-1]
+    return counts, jnp.sum((m_in > 0).astype(jnp.int32))
+
+
+def cell_overflow_fraction(
+    pos, mass, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
+) -> jax.Array:
+    """Fraction of in-box massive particles NOT binned by the P3M cell
+    list (capacity overflow).  Overflowed particles keep a mesh-quality
+    FULL force (complement-kernel deposit) but lose short-range
+    exactness — a nonzero fraction degrades accuracy toward pure PM for
+    those pairs and warrants a larger ``--pm-capacity``."""
+    nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
+    cap = int(capacity) or _auto_capacity(pos.shape[1], nc ** 3)
+    counts, n_in = _cell_counts(pos, mass, grid, cutoff_cells)
+    return jnp.sum(jnp.maximum(counts - cap, 0)) / jnp.maximum(n_in, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _max_occupancy(pos, mass, grid: int, cutoff_cells: int):
+    counts, _ = _cell_counts(pos, mass, grid, cutoff_cells)
+    return jnp.max(counts)
+
+
+def suggest_capacity(
+    pos, mass, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
+    headroom: float = 1.25, max_capacity: int = 2048,
+) -> int:
+    """HOST-SIDE data-driven cell capacity: the measured max cell
+    occupancy x ``headroom``, rounded up to a power of two in
+    [64, max_capacity].  Shapes are static under jit, so a traced call
+    cannot size the table from the data — the simulation engine calls
+    this once per block build with the concrete state instead (clustered
+    cores make occupancy wildly data-dependent: Plummer N=8192 peaks at
+    ~260/cell while the mean is 0.25).  Beyond max_capacity the
+    super-dense cells overflow to mesh-quality forces by design — the
+    exact short-range work in a power-law core grows as occupancy^2 and
+    belongs to the exact all-pairs kernels."""
+    occ = int(_max_occupancy(pos, mass, int(grid), int(cutoff_cells)))
+    cap = 64
+    while cap < headroom * occ and cap < max_capacity:
+        cap *= 2
+    return cap
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def force_error_vs_exact(pos, mass, grid: int = DEFAULT_GRID,
+                         cutoff_cells: int = 0, capacity: int = 0):
+    """Relative L2 force error of the mesh solve (pm, or p3m when
+    ``cutoff_cells`` > 0) vs the exact all-pairs kernel (diagnostic used
+    by tests and docs measurements)."""
     from . import naive
 
-    a_pm = accelerations(pos, mass, grid=grid)
+    a_pm = accelerations(pos, mass, grid=grid, cutoff_cells=cutoff_cells,
+                         capacity=capacity)
     a_ref = naive.accelerations(pos, mass)
     num = jnp.sqrt(jnp.sum((a_pm - a_ref) ** 2))
     den = jnp.sqrt(jnp.sum(a_ref ** 2))

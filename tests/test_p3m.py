@@ -1,0 +1,158 @@
+"""P3M: the particle-mesh solver with the exact short-range correction
+(ops/pm.py, cutoff_cells > 0; the round-2 VERDICT's top ask).
+
+Contract: the force split f = f*S + f*(1-S) is an exact identity, so the
+only error sources are the mesh discretization of the SMOOTH tapered
+part (CIC-deconvolved) and cell-capacity overflow (which falls back to
+mesh-quality full forces).  That makes P3M accurate precisely where
+one-level PM was not — clustered distributions (reference force law:
+ver0/GSimulation.cpp:130-150)."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.models.distributions import cold_sphere, plummer
+from nbody_tpu.ops import naive, pm
+
+
+def _err(pos, mass, ng, cutoff, cap):
+    return float(pm.force_error_vs_exact(pos, mass, ng, cutoff, cap))
+
+
+def test_taper_properties():
+    import jax.numpy as jnp
+
+    q = jnp.linspace(-0.5, 1.5, 101)
+    s = np.asarray(pm._taper(q))
+    assert s[0] == 0.0 and s[-1] == 1.0
+    assert np.all(np.diff(s) >= 0)  # monotone
+    # compact support of the short-range factor: 1-S == 0 beyond R_c
+    assert np.all(s[q >= 1.0] == 1.0)
+
+
+def test_p3m_plummer_accuracy():
+    """The VERDICT round-2 'done' criterion (scaled to CI size; the
+    N=8192 measurement — 4.3e-3 / 3.1e-3 at ng=64/128 vs pm's 0.43/0.18
+    — is recorded in docs/DESIGN.md)."""
+    pos, _, mass = plummer(2048, seed=1)
+    cap = pm.suggest_capacity(pos, mass, 64, 4)
+    assert _err(pos, mass, 64, 4, cap) < 1.5e-2
+    cap = pm.suggest_capacity(pos, mass, 128, 4)
+    assert _err(pos, mass, 128, 4, cap) < 8e-3
+
+
+def test_p3m_beats_pm_on_clustered():
+    pos, _, mass = plummer(2048, seed=2)
+    e_pm = _err(pos, mass, 64, 0, 0)
+    e_p3m = _err(pos, mass, 64, 4, pm.suggest_capacity(pos, mass, 64, 4))
+    assert e_p3m < e_pm / 5, (e_pm, e_p3m)
+
+
+def test_p3m_cutoff_is_accuracy_knob():
+    """Error ~ cutoff^-3: a larger split radius must help."""
+    pos, _, mass = cold_sphere(2048, seed=1)
+    e4 = _err(pos, mass, 64, 4, 128)
+    e8 = _err(pos, mass, 64, 8, 512)
+    assert e8 < e4 / 2, (e4, e8)
+
+
+def test_p3m_sub_resolution_cells():
+    """Coarse meshes use half-R_c cells with a +-2 reach (sub=2); the
+    path must stay accurate."""
+    nc, sub = pm._cell_grid_params(32, 4)
+    assert sub == 2 and nc == 16
+    nc, sub = pm._cell_grid_params(128, 4)
+    assert sub == 1 and nc == 32
+    pos, _, mass = cold_sphere(1024, seed=3)
+    e_pm = _err(pos, mass, 32, 0, 0)
+    e_p3m = _err(pos, mass, 32, 4, 256)
+    assert e_p3m < e_pm, (e_pm, e_p3m)
+    assert e_p3m < 5e-2
+
+
+def test_p3m_momentum_conserved():
+    """With no capacity overflow the short-range pair sum is exactly
+    antisymmetric and the mesh part is deposit/gather-symmetric with an
+    antisymmetric (deconvolved) kernel: total momentum flux ~ 0."""
+    pos, _, mass = cold_sphere(1024, seed=4)
+    cap = pm.suggest_capacity(pos, mass, 64, 4)
+    assert float(pm.cell_overflow_fraction(pos, mass, 64, 4, cap)) == 0.0
+    a = np.asarray(pm.accelerations(pos, mass, grid=64, cutoff_cells=4,
+                                    capacity=cap))
+    flux = np.abs((mass[None, :] * a).sum(axis=1))
+    scale = np.abs(mass[None, :] * a).sum()
+    assert np.all(flux < 2e-6 * scale), (flux, scale)
+
+
+def test_p3m_overflow_falls_back_to_mesh_quality():
+    """Starving the cell list (capacity 8) must degrade accuracy toward
+    plain PM — never below it (the complement-kernel deposit gives
+    overflowed sources a mesh-quality FULL force)."""
+    pos, _, mass = plummer(2048, seed=5)
+    ov = float(pm.cell_overflow_fraction(pos, mass, 64, 4, 8))
+    assert ov > 0.1  # the core genuinely overflows at capacity 8
+    e_pm = _err(pos, mass, 64, 0, 0)
+    e_starved = _err(pos, mass, 64, 4, 8)
+    e_full = _err(pos, mass, 64, 4, pm.suggest_capacity(pos, mass, 64, 4))
+    assert e_full < e_starved <= e_pm * 1.25, (e_full, e_starved, e_pm)
+
+
+def test_p3m_zero_mass_padding_neutral():
+    from nbody_tpu.init import make_state
+
+    state = make_state(1000, pad_multiple=256)  # padded to 1024
+    acc = np.asarray(pm.accelerations(state.pos, state.mass, grid=32,
+                                      cutoff_cells=4, capacity=64))
+    ref = np.asarray(pm.accelerations(state.pos[:, :1000],
+                                      state.mass[:1000], grid=32,
+                                      cutoff_cells=4, capacity=64))
+    np.testing.assert_allclose(acc[:, :1000], ref, rtol=2e-5, atol=1e-8)
+
+
+def test_p3m_between_matches_self():
+    pos, _, mass = cold_sphere(512, seed=6)
+    a_self = np.asarray(pm.p3m_accelerations(pos, mass, grid=32,
+                                             capacity=64))
+    a_btwn = np.asarray(pm.p3m_accelerations_between(pos, pos, mass,
+                                                     grid=32, capacity=64))
+    np.testing.assert_array_equal(a_self, a_btwn)
+
+
+def test_p3m_registry_and_config():
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.ops import registry
+
+    assert "p3m" in registry.available()
+    fn = registry.get("p3m")
+    pos, _, mass = cold_sphere(256, seed=7)
+    a = np.asarray(fn(pos, mass, grid=32, capacity=64))
+    assert np.all(np.isfinite(a))
+
+    cfg = SimConfig(kernel="p3m", pm_grid=32, pm_cutoff=6, pm_capacity=128)
+    opts = cfg.kernel_opts()
+    assert opts == {"grid": 32, "cutoff_cells": 6, "capacity": 128}
+
+
+def test_suggest_capacity_data_driven():
+    pos, _, mass = plummer(2048, seed=1)
+    cap = pm.suggest_capacity(pos, mass, 128, 4)
+    assert cap >= 64 and (cap & (cap - 1)) == 0  # pow2, >= floor
+    occ = int(pm._max_occupancy(pos, mass, 128, 4))
+    assert cap >= occ  # no overflow at the suggested size
+    # compact uniform ICs need only the floor
+    pos2, _, mass2 = cold_sphere(1024, seed=2)
+    assert pm.suggest_capacity(pos2, mass2, 64, 4) == 64
+
+
+def test_p3m_engine_run():
+    """End-to-end: --kernel p3m through the engine (capacity auto-sized
+    from the initial state), finite trace."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=512, nsteps=20, sfreq=10, kernel="p3m", pm_grid=32,
+                    distribution="plummer", dt=0.01)
+    result = run(cfg, quiet=True)
+    assert cfg.pm_capacity >= 64  # the engine sized the cell list
+    assert len(result.samples) == 2
+    assert all(np.isfinite(ke) for _, ke in result.kenergy_trace)
