@@ -163,16 +163,37 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}")
 
-    if kernel_name == "pm" and comm != "allgather":
+    if kernel_name in ("pm", "p3m") and comm != "allgather":
         # The mesh solver needs every target inside the source box; ring
         # modes (incl. rdma/ring_sym, which would silently substitute
         # exact Pallas kernels) stream source BLOCKS whose bounding boxes
         # do not cover remote targets.
         raise ValueError(
-            "--kernel pm supports only --comm allgather when sharded"
+            f"--kernel {kernel_name} supports only --comm allgather "
+            "when sharded"
         )
 
-    if comm == "rdma":
+    if kernel_name in ("pm", "p3m"):
+        # Mesh-kernel decomposition: despite the flag name, positions are
+        # NOT all-gathered — each shard deposits its local sources and
+        # ONE lax.psum reduces the mass grid (pm.sharded_accelerations;
+        # per-shard deposit/gather work O(N/K)).  P3M's short-range pass
+        # is the one consumer that still gathers sources (index sharding
+        # is not spatial).
+        from ..ops import pm as pm_ops
+
+        popts = {
+            key: v
+            for key, v in kernel_opts.items()
+            if key in ("grid", "cutoff_cells", "capacity")
+        }
+        if kernel_name == "p3m":
+            popts.setdefault("cutoff_cells", pm_ops.DEFAULT_CUTOFF_CELLS)
+
+        def accel_local(p, m):
+            return pm_ops.sharded_accelerations(p, m, AXIS, **popts)
+
+    elif comm == "rdma":
         # The fused in-kernel RDMA ring (ring_kernel.py).
         from .ring_kernel import ring_accelerations
 
