@@ -113,7 +113,7 @@ def _timed_steps(cfg, nsteps, force_chunked=None):
             accel_fn=make_accel_fn(cfg.kernel, **cfg.kernel_opts()),
             dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
             sym=cfg.kernel in ("auto", "pallas_sym")
-            and cfg.precision == "f32",
+            and cfg.precision in ("f32", "bf16"),
         )
     else:
         blk = make_block_fn(

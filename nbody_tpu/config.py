@@ -88,7 +88,7 @@ class SimConfig:
         if self.kernel in ("pm", "p3m") and self.precision == "bf16":
             # The mesh solver is fp32-only; silently running fp32 while
             # reporting bf16 would misrepresent the configuration
-            # (mirrors pallas_sym/pallas_mxu's bf16 rejection).
+            # (mirrors pallas_mxu's bf16 rejection).
             raise ValueError(
                 f"--kernel {self.kernel} is fp32-only; it does not support "
                 "--precision bf16 (use --kernel pallas for the bf16 "

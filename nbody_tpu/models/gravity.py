@@ -204,11 +204,17 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
 
     sym_chunk = (
         _sym_chunking(n_padded, max_pairs_per_exec)
-        if sym and dist_dtype == "float32" else None
+        if sym and dist_dtype in ("float32", "bfloat16") else None
     )
     if sym_chunk is not None:
         per, blk = sym_chunk
-        sweep = _make_sym_chunked_sweep(n_padded, per, interpret, block=blk)
+        if tile_i and per % tile_i == 0:
+            # tile_i doubles as an explicit sym-block override (the
+            # pallas_sym convention) — the online retuner's knob for
+            # this regime.
+            blk = tile_i
+        sweep = _make_sym_chunked_sweep(n_padded, per, interpret, block=blk,
+                                        dist_dtype=dist_dtype)
         return _orchestrated_block(sweep, dtf, half, block_steps, integrator)
 
     from ..ops.pallas_kernel import (
@@ -253,7 +259,7 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
 
 
 def _make_sym_chunked_sweep(n_padded: int, per: int, interpret: bool,
-                            block: int = 0):
+                            block: int = 0, dist_dtype: str = "float32"):
     """Pair-symmetric host-chunked force sweep: the particle range is cut
     into C = n/per equal chunks and every unordered CHUNK pair is computed
     by exactly one short executable — diagonal chunks by the resident sym
@@ -279,7 +285,8 @@ def _make_sym_chunked_sweep(n_padded: int, per: int, interpret: bool,
     def diag_chunk(pos, mass, i0):
         p = lax.dynamic_slice(pos, (0, i0), (3, per))
         m = lax.dynamic_slice(mass, (i0,), (per,))
-        return sym_accel(p, m, block=block, interpret=interpret)
+        return sym_accel(p, m, block=block, dist_dtype=dist_dtype,
+                         interpret=interpret)
 
     @jax.jit
     def cross_chunk(pos, mass, i0, j0):
@@ -288,6 +295,7 @@ def _make_sym_chunked_sweep(n_padded: int, per: int, interpret: bool,
         ps = lax.dynamic_slice(pos, (0, j0), (3, per))
         ms = lax.dynamic_slice(mass, (j0,), (per,))
         return accelerations_two_sided(pt, mt, ps, ms, block=block,
+                                       dist_dtype=dist_dtype,
                                        interpret=interpret)
 
     @jax.jit

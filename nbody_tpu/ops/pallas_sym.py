@@ -69,8 +69,21 @@ def auto_block(n: int) -> int:
     return device_caps.caps().sym_auto_block(n)
 
 
+def _bf16_round(dx, dy, dz):
+    """bf16-distance mode: deltas subtract in f32 and are then ROUNDED
+    through bf16 (casting positions first would catastrophically cancel
+    near pairs — pallas_kernel.py order); all arithmetic stays f32.
+    Rounding commutes with negation (round-to-nearest of -x = -round x),
+    so F_ji = -F_ij stays EXACT and the pair-symmetric trick is still
+    valid in this mode."""
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    return (dx.astype(bf).astype(f32), dy.astype(bf).astype(f32),
+            dz.astype(bf).astype(f32))
+
+
 def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
-                mxu_reduce=False):
+                mxu_reduce=False, bf16=False):
     f32 = jnp.float32
     eps2 = f32(SOFTENING_SQUARED)
     B = block
@@ -117,6 +130,8 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
             dx = xj - xi  # (B, B)
             dy = yj - yi
             dz = zj - zi
+            if bf16:
+                dx, dy, dz = _bf16_round(dx, dy, dz)
             d2 = dx * dx + dy * dy + dz * dz + eps2
             inv = lax.rsqrt(d2)
             u = inv * inv * inv  # shared symmetric geometry 1/d^3
@@ -177,7 +192,8 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
         )
 
 
-def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj):
+def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj,
+                      bf16=False):
     """All (i-tile, j-tile) block pairs of targets x sources, each block
     computed ONCE with the mass-folded weight feeding BOTH accumulators:
     out_t gets the action on the targets, out_s the reaction on the
@@ -208,6 +224,8 @@ def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj):
             dx = xj - xi  # (B, B)
             dy = yj - yi
             dz = zj - zi
+            if bf16:
+                dx, dy, dz = _bf16_round(dx, dy, dz)
             d2 = dx * dx + dy * dy + dz * dz + eps2
             inv = lax.rsqrt(d2)
             w = (gmi * gmj) * (inv * inv * inv)
@@ -247,6 +265,7 @@ def accelerations_two_sided(
     pos_s: jax.Array,
     mass_s: jax.Array,
     block: int = 0,
+    dist_dtype: str = "float32",
     interpret: bool = False,
 ) -> tuple:
     """Action AND reaction of one target-set x source-set sweep: returns
@@ -268,7 +287,8 @@ def accelerations_two_sided(
     ps_s = pack_particles(pos_s, mass_s)
     out_t, out_s = pl.pallas_call(
         functools.partial(_two_sided_kernel, block=b, nbi=nt // b,
-                          nbj=ns // b),
+                          nbj=ns // b,
+                          bf16=jnp.dtype(dist_dtype) == jnp.bfloat16),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -308,11 +328,12 @@ def accelerations(
 ) -> jax.Array:
     """All-pairs self-accelerations via the pair-symmetric sweep.
     pos (3, N), mass (N,) -> (3, N) fp32.  N must be divisible by the
-    block size and <= max_sym_n() (everything is VMEM-resident)."""
+    block size and <= max_sym_n() (everything is VMEM-resident).
+
+    ``dist_dtype='bfloat16'`` rounds pair deltas through bf16 (BASELINE
+    config 3's reduced-precision mode) with fp32 arithmetic — see
+    _bf16_round for why pair symmetry survives the rounding."""
     del tile_j
-    if jnp.dtype(dist_dtype) != jnp.float32:
-        raise ValueError("pallas_sym is fp32-only (use kernel='pallas' "
-                         "for the bf16 distance mode)")
     n = pos.shape[1]
     if not (block or tile_i):
         block = auto_block(n)
@@ -328,7 +349,8 @@ def accelerations(
     ps_rows = pack_particles(pos, mass)  # (8, N)
     out = pl.pallas_call(
         functools.partial(_sym_kernel, block=b, nblocks=n // b,
-                          fold_mass=fold_mass, mxu_reduce=mxu_reduce),
+                          fold_mass=fold_mass, mxu_reduce=mxu_reduce,
+                          bf16=jnp.dtype(dist_dtype) == jnp.bfloat16),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),

@@ -52,7 +52,7 @@ def resolve(name: str, n: int = None, dist_dtype: str = "float32") -> str:
 
     if (
         n is not None
-        and jnp.dtype(dist_dtype) == jnp.float32
+        and jnp.dtype(dist_dtype) in (jnp.float32, jnp.bfloat16)
         and n <= pallas_sym.max_sym_n()
     ):
         return "pallas_sym"
@@ -83,9 +83,9 @@ def _lookup(name: str):
 
 def _auto_self(pos, mass, **opts):
     """``auto`` self-kernel: dispatch on backend + traced shape.  The
-    pair-symmetric kernel wins ~1.38x whenever it applies (fp32, padded N
-    divisible by its block and small enough to sit in VMEM); the streaming
-    tiled kernel covers everything else."""
+    pair-symmetric kernel wins ~1.38x whenever it applies (fp32 or
+    bf16-distance, padded N divisible by its block and small enough to
+    sit in VMEM); the streaming tiled kernel covers everything else."""
     import jax.numpy as jnp
 
     n = pos.shape[1]
@@ -96,7 +96,8 @@ def _auto_self(pos, mass, **opts):
     block = opts.pop("block", 0) or opts.get("tile_i", 0) or pallas_sym.auto_block(n)
     if (
         jax.default_backend() == "tpu"
-        and jnp.dtype(opts.get("dist_dtype", "float32")) == jnp.float32
+        and jnp.dtype(opts.get("dist_dtype", "float32"))
+        in (jnp.float32, jnp.bfloat16)
         and n <= pallas_sym.max_sym_n()
         and n % min(block, n) == 0
     ):

@@ -93,11 +93,16 @@ class _BlockRunner:
 
 
 class _DeviceRunner(_BlockRunner):
+    # Per-executable wall-clock budget for the mesh-solver tiers: one XLA
+    # executable must stay well under the ~1 min TPU runtime watchdog.
+    PM_EXEC_BUDGET_S = 30.0
+
     def __init__(self, cfg: SimConfig):
         super().__init__(cfg)
         self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         self.state: Optional[ParticleState] = None
         self._blocks = {}
+        self._pm_measured = 0.0  # measured seconds/step (watchdog feedback)
 
     def save(self, path: str, step: int) -> None:
         if self.cfg.checkpoint_backend == "orbax":
@@ -166,18 +171,47 @@ class _DeviceRunner(_BlockRunner):
             )
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         self._online = None
+        # The online retuner covers every tile-parameterized regime (the
+        # reference's tuner ran unconditionally every sample block,
+        # opencl/Compute.cpp:317-321): single-device forward kernels, the
+        # fused block, SHARDED runs (candidates sized to the local
+        # shard), and the huge-N pair-symmetric chunk sweep (candidates
+        # retune the sym block size within the fixed chunk length).
+        online_family = family
+        sym_per = 0
+        if (
+            not cfg.fused and cfg.shards == 1 and cfg.nsteps > 0
+            and cfg.kernel in ("auto", "pallas_sym")
+            and cfg.precision in ("f32", "bf16")
+        ):
+            from .models.gravity import (
+                _sym_chunking,
+                max_pairs_per_exec,
+                needs_host_chunking,
+            )
+
+            if needs_host_chunking(state.n_padded,
+                                   min(cfg.sfreq, cfg.nsteps)):
+                chunk = _sym_chunking(state.n_padded, max_pairs_per_exec())
+                if chunk:
+                    sym_per = chunk[0]
+                    online_family = "forward_sym"
         if (
             cfg.autotune_online
-            and family in ("forward", "forward_sym")
-            and cfg.shards == 1
+            and online_family in ("forward", "forward_sym", "fused")
             and not (cfg.tile_i and cfg.tile_j)
         ):
             from .utils.autotune import DEFAULT_CANDIDATES
 
-            cands = [
-                c for c in DEFAULT_CANDIDATES[family]
-                if state.n_padded % c[0] == 0 and state.n_padded % c[1] == 0
-            ]
+            local = state.n_padded // max(1, cfg.shards)
+
+            def _valid(c):
+                if sym_per:  # tile_i overrides the sym-chunk block size
+                    return c[0] <= sym_per and sym_per % c[0] == 0
+                return local % c[0] == 0 and local % c[1] == 0
+
+            cands = [c for c in DEFAULT_CANDIDATES[online_family]
+                     if _valid(c)]
             if cands:
                 self._online = dict(cands=cands, idx=0, results=[],
                                     warmed=False, locked=False,
@@ -202,13 +236,14 @@ class _DeviceRunner(_BlockRunner):
 
             def build_sharded(steps):
                 est = self._pm_step_est()
-                if resolved in ("pm", "p3m") and steps * est > 30.0:
+                budget = self.PM_EXEC_BUDGET_S
+                if resolved in ("pm", "p3m") and steps * est > budget:
                     # Same watchdog logic as the single-device pm branch,
                     # but in the LARGEST sub-blocks that fit the budget:
                     # each sub-block re-seeds the leapfrog acceleration,
                     # so bigger sub-blocks amortize that extra solve
                     # (overhead 1/sub instead of 2x at sub=1).
-                    sub = max(1, min(steps, int(30.0 / max(est, 1e-9))))
+                    sub = max(1, min(steps, int(budget / max(est, 1e-9))))
 
                     def block(st):
                         done, ke = 0, None
@@ -224,6 +259,13 @@ class _DeviceRunner(_BlockRunner):
                     comm=cfg.comm, integrator=cfg.integrator,
                 )
 
+            if resolved in ("pm", "p3m") and cfg.nsteps > 0:
+                # Watchdog feedback BEFORE the first full block: a wrong
+                # open-loop estimate would build an executable that trips
+                # the runtime watchdog in warm-up.
+                self._pm_measured = self._measure_pm_step(
+                    state, sharded_sub_block
+                )
             self._block_for = lambda steps: self._cached(
                 steps, lambda: build_sharded(steps)
             )
@@ -255,9 +297,10 @@ class _DeviceRunner(_BlockRunner):
                     # chunking doesn't apply (it would silently swap in
                     # exact kernels) — but a long sample block is still
                     # ONE executable and the runtime watchdog meters
-                    # executables (~1 min).  Above a conservative block
-                    # estimate, run one executable per step.
-                    if steps * self._pm_step_est() > 30.0:
+                    # executables (~1 min).  Above the block estimate
+                    # (open-loop model corrected by the measured first
+                    # step), run one executable per step.
+                    if steps * self._pm_step_est() > self.PM_EXEC_BUDGET_S:
                         return make_host_chunked_block_fn(
                             cfg.dt, steps, state.n_padded,
                             accel_fn=self.accel_fn,
@@ -281,13 +324,15 @@ class _DeviceRunner(_BlockRunner):
                         dist_dtype="bfloat16" if cfg.precision == "bf16"
                         else "float32",
                         sym=cfg.kernel in ("auto", "pallas_sym")
-                        and cfg.precision == "f32",
+                        and cfg.precision in ("f32", "bf16"),
                         interpret=cfg.interpret,
                     )
                 return make_block_fn(
                     self.accel_fn, cfg.dt, steps, integrator=cfg.integrator
                 )
 
+            if resolved in ("pm", "p3m") and cfg.nsteps > 0:
+                self._pm_measured = self._measure_pm_step(state)
             self._block_for = lambda steps: self._cached(
                 steps, lambda: build(steps)
             )
@@ -306,12 +351,40 @@ class _DeviceRunner(_BlockRunner):
             except Exception as e:  # noqa: BLE001 — see _candidate_failed
                 self._candidate_failed(e)  # re-raises unless retuning
 
+    def _measure_pm_step(self, state, sharded_sub_block=None) -> float:
+        """Watchdog feedback: run ONE compiled mesh-solver step and time
+        it, so _pm_step_est is corrected by reality instead of trusting
+        the open-loop constants (round-2 weakness: a slower backend or
+        bigger grid would silently re-trip the watchdog).  State is
+        immutable, so the probe does not advance the simulation; the
+        value fetch is the sync (block_until_ready does not block on
+        tunneled backends)."""
+        import time as _time
+
+        from .models.gravity import make_host_chunked_block_fn
+
+        if sharded_sub_block is not None:
+            blk = sharded_sub_block(1)
+        else:
+            blk = make_host_chunked_block_fn(
+                self.cfg.dt, 1, state.n_padded, accel_fn=self.accel_fn,
+                per_step=True,
+            )
+        _, ke = blk(state)
+        float(ke)  # compile + first run (discarded)
+        t0 = _time.perf_counter()
+        _, ke = blk(state)
+        float(ke)
+        return _time.perf_counter() - t0
+
     def _pm_step_est(self) -> float:
-        """Conservative seconds-per-step estimate for the mesh solver
-        (measured ~2-3x above actual on v5e), used to keep any single
-        executable well under the ~1 min runtime watchdog.  P3M adds the
-        short-range candidate sweep: (2*sub+1)^3 * capacity candidate
-        evaluations per particle."""
+        """Seconds-per-step estimate for the mesh solver, used to keep
+        any single executable well under the ~1 min runtime watchdog:
+        max(open-loop model, measured first step).  The model (measured
+        ~2-3x above actual on v5e) is the floor; the measurement
+        (_measure_pm_step) corrects it on backends/grids the constants
+        do not describe.  P3M adds the short-range candidate sweep:
+        (2*sub+1)^3 * capacity candidate evaluations per particle."""
         from .ops.pm import DEFAULT_CUTOFF_CELLS, DEFAULT_GRID, \
             _cell_grid_params
 
@@ -325,7 +398,7 @@ class _DeviceRunner(_BlockRunner):
             _, sub = _cell_grid_params(ng, cutoff)
             cands = (2 * sub + 1) ** 3 * max(cfg.pm_capacity, 64)
             est += 2e-11 * self.state.n_padded * cands
-        return est
+        return max(est, self._pm_measured)
 
     def _cached(self, steps: int, build: Callable):
         # Keyed by tiles too: the online retuner switches tile configs

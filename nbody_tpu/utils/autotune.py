@@ -115,11 +115,9 @@ def _time_forward(pos, mass, ti, tj, loops, dist_dtype, interpret):
 def _time_forward_sym(pos, mass, ti, tj, loops, dist_dtype, interpret):
     from ..ops.pallas_sym import accelerations
 
-    if dist_dtype != "float32":
-        return None  # sym is fp32-only
-
     def body(_, p):
-        acc = accelerations(p, mass, block=ti, interpret=interpret)
+        acc = accelerations(p, mass, block=ti, dist_dtype=dist_dtype,
+                            interpret=interpret)
         return p + np.float32(1e-30) * acc
 
     return _diff_time(_loop_runner(body, pos), loops)

@@ -239,3 +239,70 @@ def test_fused_candidates_include_sym():
     out of the 1.34x default path."""
     assert any(ti == tj for ti, tj in autotune.DEFAULT_CANDIDATES["fused"])
     assert any(ti != tj for ti, tj in autotune.DEFAULT_CANDIDATES["fused"])
+
+
+def test_autotune_online_fused(monkeypatch):
+    """VERDICT item 6: --autotune-online must cover the fused family."""
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "fused", ((32, 32), (64, 64))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=128, nsteps=250, sfreq=50, fused=True,
+                    interpret=True, autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    assert (cfg.tile_i, cfg.tile_j) in ((32, 32), (64, 64))  # locked
+
+    ref = run(SimConfig(n=128, nsteps=250, sfreq=50, kernel="naive"),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r and abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9)
+
+
+def test_autotune_online_sharded(monkeypatch):
+    """VERDICT item 6: --autotune-online must cover sharded runs
+    (candidates sized to the LOCAL shard)."""
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "forward", ((32, 64), (64, 64))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=500, nsteps=250, sfreq=50, kernel="pallas",
+                    shards=4, comm="ring", interpret=True,
+                    autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    assert (cfg.tile_i, cfg.tile_j) in ((32, 64), (64, 64))  # locked
+
+    ref = run(SimConfig(n=500, nsteps=250, sfreq=50, kernel="naive"),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r and abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9)
+
+
+def test_autotune_online_sym_chunked(monkeypatch):
+    """VERDICT item 6: --autotune-online must retune the huge-N
+    pair-symmetric chunk sweep (the candidate tile_i overrides the sym
+    block size within the fixed chunk length)."""
+    import nbody_tpu.models.gravity as gravity
+
+    # Shrink the executable budget so a small N takes the huge-N path.
+    monkeypatch.setattr(gravity, "max_pairs_per_exec", lambda: 256 * 768)
+    monkeypatch.setitem(
+        autotune.DEFAULT_CANDIDATES, "forward_sym", ((64, 64), (128, 128))
+    )
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=700, nsteps=250, sfreq=50, kernel="pallas_sym",
+                    interpret=True, autotune_online=True)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 5
+    assert cfg.tile_i in (64, 128)  # a sym-block candidate locked in
+    ref = run(SimConfig(n=700, nsteps=250, sfreq=50, kernel="naive"),
+              quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
+        assert s == s_r and abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9)

@@ -7,7 +7,7 @@ import pytest
 
 from nbody_tpu.init import reference_init_arrays
 from nbody_tpu.oracle import accelerations_ref64
-from nbody_tpu.ops import naive, pallas_kernel, pallas_mxu, registry
+from nbody_tpu.ops import naive, pallas_kernel, pallas_mxu, pallas_sym, registry
 
 
 def _rel_err(got, want):
@@ -88,6 +88,46 @@ def test_bf16_distance_mode(system):
         )
     )
     assert _l2_rel(got_p, acc64) < 5e-3
+
+
+def test_bf16_sym_matches_streaming_bf16(system):
+    """VERDICT-r2 item 3: the pair-symmetric kernel supports the
+    bf16-distance mode (same delta-rounding semantics as the streaming
+    kernel — _bf16_round rounds fp32 deltas through bf16, arithmetic
+    stays fp32), so BASELINE config 3 is no longer streaming-only."""
+    pos, mass, acc64 = system
+    want = np.asarray(
+        naive.accelerations(pos, mass, dist_dtype="bfloat16")
+    )
+    got = np.asarray(
+        pallas_sym.accelerations(
+            pos, mass, block=128, dist_dtype="bfloat16", interpret=True
+        )
+    )
+    # identical per-pair geometry, different accumulation order only
+    assert _l2_rel(got, want) < 2e-6
+    assert _l2_rel(got, acc64) < 5e-3
+    # momentum conservation survives the rounding: rounding commutes
+    # with negation, so F_ji = -F_ij stays exact pairwise.
+    mom = (np.asarray(got, np.float64) * np.asarray(mass, np.float64)).sum(1)
+    scale = np.abs(np.asarray(got, np.float64) * mass).sum(1).max()
+    assert np.abs(mom).max() < 1e-3 * scale
+
+
+def test_bf16_two_sided_matches_streaming_bf16(system):
+    """Two-sided (action/reaction) sweep in bf16-distance mode: both
+    outputs must match the streaming between-kernel's bf16 geometry."""
+    pos, mass, _ = system
+    nt = 256
+    pt, mt = pos[:, :nt], mass[:nt]
+    ps, ms = pos[:, nt:], mass[nt:]
+    acc_t, acc_s = pallas_sym.accelerations_two_sided(
+        pt, mt, ps, ms, block=128, dist_dtype="bfloat16", interpret=True
+    )
+    ref_t = naive.accelerations_between(pt, ps, ms, dist_dtype="bfloat16")
+    ref_s = naive.accelerations_between(ps, pt, mt, dist_dtype="bfloat16")
+    assert _l2_rel(acc_t, ref_t) < 2e-6
+    assert _l2_rel(acc_s, ref_s) < 2e-6
 
 
 def test_mxu_kernel_matches_naive(system):
@@ -255,8 +295,6 @@ def test_pallas_sym_guards():
 
     pos = np.zeros((3, 512), np.float32)
     mass = np.ones(512, np.float32)
-    with _pytest.raises(ValueError, match="fp32-only"):
-        pallas_sym.accelerations(pos, mass, dist_dtype="bfloat16")
     with _pytest.raises(ValueError, match="divisible"):
         pallas_sym.accelerations(pos, mass, block=300)
 
