@@ -71,13 +71,53 @@ def _suite(kernel: str) -> int:
     return 0
 
 
+# Perf-regression gate (scripts/tpu_check.sh): per-config floors pinned
+# to round-2/3 measured rates minus ~5-8% margin, so kernel work cannot
+# silently regress a tier.  gflops_model floors are in the reference's
+# own flop model (29 N^2 + 19 N); the pm row gates ms/step instead
+# (the mesh tier's cost is not pair-shaped).
+# (name, precision, n, timed steps, kernel, metric, op, bound)
+GATES = (
+    ("n16384-f32", "f32", 16384, 500, None, "gflops_model", ">=", 8500.0),
+    ("n262144-f32", "f32", 262144, 64, None, "gflops_model", ">=", 9200.0),
+    ("bf16-n131072", "bf16", 131072, 100, None, "gflops_model", ">=", 7500.0),
+    ("pm-n1m", "f32", 1048576, 8, "pm", "ms_per_step", "<=", 150.0),
+)
+
+
+def _gate(kernel: str) -> int:
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.utils.flops import step_gflops
+
+    failed = 0
+    for name, precision, n, steps, kernel_pin, metric, op, bound in GATES:
+        cfg = SimConfig(n=n, nsteps=steps, kernel=kernel_pin or kernel,
+                        precision=precision)
+        half = max(1, steps // 2)
+        chunked = _force_chunked(cfg, 2 * half)
+        t_half = _timed_steps(cfg, half, force_chunked=chunked)
+        t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked)
+        sps = half / max(t_full - t_half, 1e-9)
+        if metric == "gflops_model":
+            value = step_gflops(n) * sps
+        else:  # ms_per_step
+            value = 1e3 / sps
+        ok = value >= bound if op == ">=" else value <= bound
+        print(f"GATE {name:14s}: {value:10.2f} {metric} "
+              f"(bound {op} {bound:g}) -> {'PASS' if ok else 'FAIL'}",
+              flush=True)
+        failed += not ok
+    return 1 if failed else 0
+
+
 def _force_chunked(cfg, nsteps) -> bool:
     """Whether a run of ``nsteps`` uses the host-chunked regime (decided
     once per difference-timing pair so both runs share the machinery)."""
     from nbody_tpu.models.gravity import needs_host_chunking
     from nbody_tpu.state import round_up
 
-    if cfg.shards > 1 or getattr(cfg, "fused", False) or cfg.kernel == "pm":
+    if (cfg.shards > 1 or getattr(cfg, "fused", False)
+            or cfg.kernel in ("pm", "p3m")):
         return False
     return needs_host_chunking(round_up(cfg.n, cfg.pad_multiple()), nsteps)
 
@@ -183,6 +223,10 @@ def main() -> int:
     p.add_argument("--suite", action="store_true",
                    help="run every BASELINE.md config that fits the "
                         "available devices (one JSON line per config)")
+    p.add_argument("--gate", action="store_true",
+                   help="perf-regression gate: measure each GATES config "
+                        "and exit non-zero if any is below its pinned "
+                        "floor (scripts/tpu_check.sh)")
     args = p.parse_args()
 
     from nbody_tpu.config import SimConfig
@@ -190,6 +234,8 @@ def main() -> int:
 
     if args.suite:
         return _suite(args.kernel)
+    if args.gate:
+        return _gate(args.kernel)
 
     cfg = SimConfig(n=args.n, nsteps=args.steps, kernel=args.kernel,
                     shards=args.shards, comm="ring")

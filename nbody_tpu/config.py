@@ -32,7 +32,10 @@ class SimConfig:
     # default: off for pm, ops/pm.DEFAULT_CUTOFF_CELLS for p3m; the
     # accuracy knob — error ~ cutoff^-3, short-range cost ~ cutoff^3)
     pm_capacity: int = 0  # P3M cell-list slots per cell (0 = data-driven
-    # at block build via pm.suggest_capacity)
+    # at block build via pm.suggest_sr_plan)
+    pm_sr_slabs: int = 0  # P3M short-range table slabs (0 = data-driven
+    # at block build / guaranteed bound; pm.suggest_sr_plan)
+    pm_sr_entries: int = 0  # P3M worklist entries (0 = same)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -118,6 +121,10 @@ class SimConfig:
                 opts["cutoff_cells"] = self.pm_cutoff
             if self.pm_capacity:
                 opts["capacity"] = self.pm_capacity
+            if self.pm_sr_slabs:
+                opts["sr_slabs"] = self.pm_sr_slabs
+            if self.pm_sr_entries:
+                opts["sr_entries"] = self.pm_sr_entries
         if self.precision == "bf16":
             if resolved in ("pm", "p3m"):  # post-construction mutation path
                 raise ValueError(

@@ -32,9 +32,14 @@ correction, in three exact-split pieces:
   window deconvolved in k-space (_cic_sharpen) so the mesh part is
   accurate to well beyond the taper scale;
 * the compact-support residual (r < R_c ~ cutoff_cells grid spacings)
-  is summed EXACTLY over a capacity-padded cell list (_cell_table /
-  _short_range — the JAX-MD static-shape idiom; sort by cell id, take
-  the first ``capacity`` per cell, sweep the (2*sub+1)^3 neighborhood).
+  is summed EXACTLY over slab-compact cell tables driven by a static
+  worklist of dense (SLAB x SLAB) pair blocks (_sr_tables /
+  _sr_worklist / _sr_sweep): particles sort into per-cell slabs of
+  ``SLAB`` slots, every (target slab, in-reach source slab) pair
+  becomes one worklist entry, and the sweep executes entries as dense
+  VPU pair blocks reading whole-slab rows — work scales with the
+  OCCUPIED pair volume (clustered cores pay their occupancy^2, empty
+  space pays nothing) and nothing gathers per particle.
 
 Sources overflowing a cell's capacity are deposited on a second grid
 convolved with the complement (short-range) kernel spectra: they get a
@@ -329,98 +334,168 @@ def _cell_coords(pos, lo_box, inv_c, nc):
     return jnp.floor(g).astype(jnp.int32)
 
 
-def _cell_table(cid_src, n_cells: int, cap: int):
-    """Capacity-padded cell list (the JAX-MD idiom — static shapes for
-    XLA): sort source indices by cell id, take the first ``cap`` per
-    cell.  ``cid_src`` is (Ns,) int32 in [0, n_cells], where the value
-    ``n_cells`` marks EXCLUDED sources (out-of-box or zero-mass).
-
-    Returns ``(table, binned)``: ``table`` (n_cells + 1, cap) int32 of
-    source indices, padded with the sentinel Ns (callers append a
-    zero-mass slot there), last row all-sentinel (serves invalid
-    neighbor-cell lookups); ``binned`` (Ns,) bool — False for excluded
-    or capacity-overflowed sources."""
-    ns = cid_src.shape[0]
-    order = jnp.argsort(cid_src).astype(jnp.int32)
-    sc = cid_src[order]
-    cells = jnp.arange(n_cells, dtype=sc.dtype)
-    starts = jnp.searchsorted(sc, cells, side="left")
-    rank = jnp.arange(ns, dtype=jnp.int32) - starts[
-        jnp.clip(sc, 0, n_cells - 1)
-    ]
-    valid = (sc < n_cells) & (rank < cap)
-    slot = jnp.clip(sc, 0, n_cells - 1) * cap + rank
-    dump = n_cells * cap  # one extra slot absorbing all invalid writes
-    slot = jnp.where(valid, slot, dump)
-    flat = jnp.full((n_cells * cap + 1,), ns, jnp.int32).at[slot].set(order)
-    table = jnp.concatenate(
-        [flat[:-1], jnp.full((cap,), ns, jnp.int32)]
-    ).reshape(n_cells + 1, cap)
-    binned = jnp.zeros((ns,), bool).at[order].set(valid)
-    return table, binned
-
-
 def _neighbor_offsets(sub: int):
     r = range(-sub, sub + 1)
     return tuple((ox, oy, oz) for ox in r for oy in r for oz in r)
 
 
-def _short_range(pos_tgt, in_tgt, coords_t, table, pos_src_ext, msrc_ext,
-                 nc: int, cap: int, rc2, sub: int = 1):
-    """Exact short-range residual accelerations (no G factor):
+# Slots per slab — the dense pair-block edge.  Slabs are the unit of
+# all short-range data movement (contiguous SLAB*4-byte rows) and of
+# the (SLAB x SLAB) dense pair blocks the VPU executes.
+SLAB = 64
 
-        a_i = sum_j m_j (r_j - r_i) (|r|^2+eps^2)^{-3/2} (1 - S(r^2/rc2))
 
-    summed over the (2*sub+1)^3-cell neighborhood of each IN-BOX target.
-    The taper's compact support (1-S = 0 at r >= R_c) plus
-    R_c <= sub * cell side guarantee every contributing pair is inside
-    the neighborhood, so the sum is exact over BINNED sources (overflowed
-    ones are handled on the mesh by the complement kernel).  Self term:
-    dx = 0 makes it exactly zero under softening (never mask the
-    diagonal).
+def _sr_tables(cid, pos, mass, n_cells: int, cap: int, s_max: int):
+    """Slab-compact cell tables for the short-range sweep.
 
-    Target-centric and chunked (lax.map) so the live intermediates stay
-    at (3, CT, cap) per neighbor offset regardless of N; each target
-    costs (2*sub+1)^3 * cap candidate evaluations (~12 VPU ops each)."""
+    Sort particles by cell id and pack them into per-cell SLABS of
+    ``SLAB`` slots: cell c owns ``ceil(min(count_c, cap)/SLAB)``
+    CONSECUTIVE slabs (cumsum layout), so table space — and, via the
+    worklist, sweep work — scales with the OCCUPIED volume instead of
+    ``n_cells * cap``.  This replaced a per-target gather formulation
+    (round-3 draft) that was gather-bound on TPU: here every later read
+    is a whole-slab row, never a per-particle pick.
+
+    ``cid`` is (Ns,) int32 in [0, n_cells]; the value ``n_cells`` marks
+    EXCLUDED particles (out-of-box, zero-mass — and, in the *between*
+    case, nothing: massless target entries are included so they can
+    RECEIVE forces without exerting any).
+
+    Returns ``(ptab (3, (s_max+1)*SLAB), mtab ((s_max+1)*SLAB,),
+    slab_cell (s_max+1,), nsl (n_cells,), sbase (n_cells,),
+    pslot (Ns,), binned (Ns,))``; slab ``s_max`` is the zero-mass
+    sentinel (it also absorbs excluded/overflowed dumps), and
+    ``binned`` is False for excluded, capacity-overflowed, or
+    s_max-overflowed particles — all of which the caller must serve at
+    mesh quality instead."""
+    i32 = jnp.int32
+    ns = cid.shape[0]
+    order = jnp.argsort(cid).astype(i32)
+    sc = cid[order]
+    cells = jnp.arange(n_cells, dtype=i32)
+    starts = jnp.searchsorted(sc, cells, side="left").astype(i32)
+    rank = jnp.arange(ns, dtype=i32) - starts[jnp.clip(sc, 0, n_cells - 1)]
+    counts = jnp.zeros((n_cells + 1,), i32).at[sc].add(1)[:-1]
+    nsl = -((-jnp.minimum(counts, cap)) // SLAB)  # ceil(included/SLAB)
+    scum = jnp.cumsum(nsl)
+    sbase = (scum - nsl).astype(i32)
+    slab_cell = jnp.full((s_max + 1,), n_cells, i32)
+    for k in range(max(1, -((-cap) // SLAB))):
+        idx = jnp.where(nsl > k, sbase + k, s_max + 1)  # OOB -> dropped
+        slab_cell = slab_cell.at[idx].set(cells, mode="drop")
+    slot = sbase[jnp.clip(sc, 0, n_cells - 1)] * SLAB + rank
+    valid = (sc < n_cells) & (rank < cap) & (slot < s_max * SLAB)
+    nslots = (s_max + 1) * SLAB
+    slot = jnp.where(valid, slot, nslots - 1)  # dump into the sentinel
+    f32 = jnp.float32
+    ptab = jnp.zeros((3, nslots), f32).at[:, slot].set(
+        jnp.where(valid[None, :], pos[:, order], f32(0)))
+    mtab = jnp.zeros((nslots,), f32).at[slot].set(
+        jnp.where(valid, mass[order], f32(0)))
+    pslot = jnp.zeros((ns,), i32).at[order].set(slot)
+    binned = jnp.zeros((ns,), bool).at[order].set(valid)
+    return ptab, mtab, slab_cell, nsl, sbase, pslot, binned
+
+
+def _sr_worklist(slab_cell, nsl, sbase, nc: int, sub: int, kmax: int,
+                 e_max: int):
+    """Static-shape worklist of (target-slab, source-slab) dense pair
+    blocks: for every real slab t and every in-range neighbor offset of
+    t's cell, one entry per slab of that neighbor cell.  Entries are
+    laid out t-major by an exclusive cumsum (deterministic, so every
+    shard of a replicated build agrees); entries beyond ``e_max`` are
+    DROPPED — size ``e_max`` from ``suggest_sr_plan``'s measured count
+    (the default bound in accelerations_between is exact for
+    ``kmax * n_off`` entries per slab and never truncates).
+
+    Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries)`` with
+    ``n_entries`` a traced scalar — the sweep's loop bound, so the
+    padded worklist tail costs nothing at runtime."""
+    i32 = jnp.int32
+    n_cells = nc * nc * nc
+    off_arr = jnp.asarray(_neighbor_offsets(sub), i32).T  # (3, n_off)
+    s_max = slab_cell.shape[0] - 1
+    tc = slab_cell[:s_max]
+    coords = jnp.stack([tc // (nc * nc), (tc // nc) % nc, tc % nc])
+    nbc = coords[:, :, None] + off_arr[:, None, :]  # (3, s_max, n_off)
+    ok = jnp.all((nbc >= 0) & (nbc < nc), axis=0) & (tc < n_cells)[:, None]
+    scell = jnp.where(ok, (nbc[0] * nc + nbc[1]) * nc + nbc[2], 0)
+    cnt = jnp.where(ok, nsl[scell], 0)  # (s_max, n_off) source slabs
+    sb = sbase[scell]
+    flat = cnt.reshape(-1)
+    base = (jnp.cumsum(flat) - flat).reshape(cnt.shape).astype(i32)
+    wl_t = jnp.full((e_max,), s_max, i32)
+    wl_s = jnp.full((e_max,), s_max, i32)
+    t_ids = jnp.broadcast_to(jnp.arange(s_max, dtype=i32)[:, None],
+                             cnt.shape)
+    for k in range(kmax):
+        eidx = jnp.where(cnt > k, base + k, e_max)  # OOB -> dropped
+        wl_t = wl_t.at[eidx].set(t_ids, mode="drop")
+        wl_s = wl_s.at[eidx].set(sb + k, mode="drop")
+    return wl_t, wl_s, jnp.sum(flat)
+
+
+def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
+              chunk_lo=0, chunk_cap: int = 0):
+    """Execute the worklist as dense (SLAB x SLAB) pair blocks, ``chunk``
+    entries per loop step, accumulating the short-range residual
+
+        a_t += sum_s m_s (r_s - r_t) (|r|^2+eps^2)^{-3/2} (1 - S(r^2/rc2))
+
+    into a per-slot table (3, (s_max+1)*SLAB).  Self term: dx = 0 makes
+    it exactly zero under softening (never mask the diagonal —
+    ver0/GSimulation.cpp:130-150 semantics).  All reads are whole-slab
+    rows (contiguous SLAB-float lines), the pair math is dense broadcast
+    VPU work, and the accumulate is a row scatter-add; nothing indexes
+    per particle.  The loop bound is TRACED (ceil(n_entries/chunk)) so
+    the statically padded worklist tail is skipped at runtime — which
+    also makes the sweep forward-only (reverse-mode AD cannot cross a
+    traced-length loop; pm with cutoff 0 remains the differentiable
+    tier).  With ``chunk_cap > 0`` only chunks [chunk_lo, chunk_lo +
+    chunk_cap) are swept — the sharded path splits entry chunks across
+    shards and psums the slot table."""
     f32 = jnp.float32
     eps2 = f32(SOFTENING_SQUARED)
-    n_cells = nc * nc * nc
-    nt = pos_tgt.shape[1]
-    ct = min(2048, max(128, nt))
-    pad = (-nt) % ct
+    e_max = wl_t.shape[0]
+    w = int(chunk)
+    pad = (-e_max) % w
+    s_max = ptab.shape[1] // SLAB - 1
     if pad:
-        pos_tgt = jnp.pad(pos_tgt, ((0, 0), (0, pad)))
-        in_tgt = jnp.pad(in_tgt, (0, pad))
-        coords_t = jnp.pad(coords_t, ((0, 0), (0, pad)))
-    nb = (nt + pad) // ct
+        ext = jnp.full((pad,), s_max, wl_t.dtype)
+        wl_t = jnp.concatenate([wl_t, ext])
+        wl_s = jnp.concatenate([wl_s, ext])
+    ptab_r = ptab.reshape(3, s_max + 1, SLAB)
+    mtab_r = mtab.reshape(s_max + 1, SLAB)
+    n_act = (jnp.minimum(n_entries, e_max) + (w - 1)) // w
+    hi = n_act if not chunk_cap else jnp.minimum(n_act,
+                                                 chunk_lo + chunk_cap)
 
-    def chunk_body(args):
-        pt, ctc, mt = args  # (3, CT), (3, CT), (CT,)
-        acc = jnp.zeros((3, ct), f32)
-        for off in _neighbor_offsets(sub):
-            nbc = ctc + jnp.asarray(off, jnp.int32)[:, None]  # (3, CT)
-            ok = jnp.all((nbc >= 0) & (nbc < nc), axis=0)  # (CT,)
-            ncid = (nbc[0] * nc + nbc[1]) * nc + nbc[2]
-            ncid = jnp.where(ok, ncid, n_cells)  # all-sentinel row
-            idx = table[ncid]  # (CT, cap)
-            ps = pos_src_ext[:, idx]  # (3, CT, cap)
-            ms = msrc_ext[idx]  # (CT, cap); sentinel slots are zero-mass
-            d = ps - pt[:, :, None]
-            r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            u = jax.lax.rsqrt(r2 + eps2)
-            w = ms * (f32(1.0) - _taper(r2 / rc2)) * (u * u * u)
-            acc = acc + jnp.sum(w[None, :, :] * d, axis=2)
-        return acc * mt[None, :]
+    def body(ci, atab):
+        te = jax.lax.dynamic_slice(wl_t, (ci * w,), (w,))
+        se = jax.lax.dynamic_slice(wl_s, (ci * w,), (w,))
+        pt = ptab_r[:, te]  # (3, w, SLAB) — whole-slab rows
+        ps = ptab_r[:, se]
+        ms = mtab_r[se]  # (w, SLAB); sentinel slabs are zero-mass
+        d = ps[:, :, None, :] - pt[:, :, :, None]  # (3, w, SLAB, SLAB)
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        u = jax.lax.rsqrt(r2 + eps2)
+        wgt = ms[:, None, :] * (f32(1.0) - _taper(r2 / rc2)) * (u * u * u)
+        return atab.at[:, te].add(jnp.sum(wgt[None] * d, axis=3))
 
-    acc = jax.lax.map(
-        chunk_body,
-        (
-            pos_tgt.reshape(3, nb, ct).transpose(1, 0, 2),
-            coords_t.reshape(3, nb, ct).transpose(1, 0, 2),
-            in_tgt.reshape(nb, ct),
-        ),
-    )  # (nb, 3, CT)
-    return acc.transpose(1, 0, 2).reshape(3, nt + pad)[:, :nt]
+    atab = jnp.zeros((3, s_max + 1, SLAB), f32)
+    atab = jax.lax.fori_loop(chunk_lo, hi, body, atab)
+    return atab.reshape(3, (s_max + 1) * SLAB)
+
+
+def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
+    """Guaranteed-sufficient static bounds when the caller provides no
+    measured plan: S <= occupied cells + ceil-slack, and every slab has
+    at most n_off * kmax entries.  Exact (never truncates), but far
+    larger than a measured plan for clustered data — the engine sizes
+    real runs via suggest_sr_plan instead."""
+    s_max = min(n_bin, n_cells) + n_bin // SLAB + 1
+    n_off = (2 * sub + 1) ** 3
+    return s_max, s_max * n_off * kmax
 
 
 def _monopole(pos_tgt, m_tot, com):
@@ -440,6 +515,8 @@ def accelerations_between(
     grid: int = DEFAULT_GRID,
     cutoff_cells: int = 0,
     capacity: int = 0,
+    sr_slabs: int = 0,
+    sr_entries: int = 0,
     **_opts,
 ) -> jax.Array:
     """Mesh-solved accelerations of targets due to sources.
@@ -462,12 +539,21 @@ def accelerations_between(
     ``cutoff_cells > 0`` enables the P3M short-range correction: the
     force is split exactly into a tapered long-range part solved on the
     mesh and a compact-support residual (r < R_c ~ cutoff_cells grid
-    spacings) summed exactly over a capacity-padded cell list (see
-    _taper / _short_range).  This is what makes CLUSTERED distributions
-    accurate — one-level PM mesh-smooths close pairs (Plummer: 0.18 rel
-    force error at ng=128), while P3M computes them exactly.
-    ``capacity`` is the per-cell source slot count (0 = auto; see
-    _auto_capacity and cell_overflow_fraction).
+    spacings) summed exactly over slab-compact cell tables driven by a
+    static worklist of dense (SLAB x SLAB) pair blocks (see _taper /
+    _sr_tables / _sr_worklist / _sr_sweep).  This is what makes
+    CLUSTERED distributions accurate — one-level PM mesh-smooths close
+    pairs (Plummer: 0.18 rel force error at ng=128), while P3M computes
+    them exactly.  ``capacity`` is the per-cell source slot count (0 =
+    auto; see _auto_capacity and cell_overflow_fraction);
+    ``sr_slabs``/``sr_entries`` are the measured static plan from
+    suggest_sr_plan (0 = guaranteed-sufficient bounds).
+
+    Particles the cell tables cannot serve exactly — capacity- or
+    plan-overflowed — fall back to MESH-QUALITY full forces on BOTH
+    sides of each pair: as sources via the complement-kernel deposit,
+    as targets via a complement-of-binned gather, keeping the split
+    momentum-symmetric under overflow.
 
     Extra registry options (tiles, interpret, dist_dtype) are accepted
     and ignored — the solver is fp32 and has no Pallas tiling."""
@@ -477,9 +563,18 @@ def accelerations_between(
         # -> all-NaN output); anything below 8 is physically useless.
         raise ValueError(f"pm grid must be >= 8, got {ng}")
     f32 = jnp.float32
+    # Identity check BEFORE the dtype conversion: numpy astype always
+    # copies, so checking after would silently flip every self-solve
+    # into between-mode, where massless target copies compete with the
+    # sources for cell capacity and one-sidedly lose their exact
+    # short-range force (momentum-breaking — found as a ~1e-3 flux
+    # asymmetry on overflowing Plummer runs).
+    same_set = pos_tgt is pos_src
     pos_tgt = pos_tgt.astype(f32)
     pos_src = pos_src.astype(f32)
     mass_src = mass_src.astype(f32)
+    if same_set:
+        pos_tgt = pos_src
     lo_box, hi_box = _robust_box(pos_src, mass_src)
     span = hi_box - lo_box
     in_src = _inside(pos_src, lo_box, hi_box)  # (Ns,) f32
@@ -520,23 +615,44 @@ def accelerations_between(
     # (this backend's irfftn is non-deterministic and inaccurate).
     rho_hat = jnp.fft.fftn(rho, s=(m, m, m))
     if cutoff_cells:
-        # P3M: bin the in-box sources first — the mesh then solves the
-        # tapered long-range kernel for everyone, PLUS the complement
-        # (short-range) kernel for the capacity-OVERFLOWED mass, whose
-        # exact pair sum the cell list cannot cover: overflowed sources
-        # thus contribute a mesh-quality FULL force (pure-PM accuracy)
-        # instead of a truncated one — accuracy degrades toward PM,
-        # never below it.
+        # P3M: bin the in-box sources into slab-compact cell tables —
+        # the mesh then solves the tapered long-range kernel for
+        # everyone, PLUS the complement (short-range) kernel for the
+        # OVERFLOWED mass the tables cannot cover: overflowed particles
+        # contribute and receive mesh-quality FULL forces (pure-PM
+        # accuracy) instead of truncated ones — accuracy degrades
+        # toward PM, never below it, and stays momentum-symmetric.
         nc, sub = _cell_grid_params(ng, cutoff_cells)
         n_cells = nc * nc * nc
-        cap = int(capacity) or _auto_capacity(pos_src.shape[1], n_cells)
+        ns = pos_src.shape[1]
+        if same_set:
+            pos_bin, m_bin, inc = pos_src, m_in, m_in > 0
+        else:
+            # Distinct targets join the tables as MASSLESS entries so
+            # they can receive the exact short-range sum without
+            # exerting force (a zero-mass slab slot is inert).
+            pos_bin = jnp.concatenate([pos_src, pos_tgt], axis=1)
+            m_bin = jnp.concatenate(
+                [m_in, jnp.zeros((pos_tgt.shape[1],), f32)]
+            )
+            inc = jnp.concatenate([m_in > 0, in_tgt > 0])
+        cap = int(capacity) or _auto_capacity(ns, n_cells)
+        kmax = -((-cap) // SLAB)
+        s_max = int(sr_slabs)
+        e_max = int(sr_entries)
+        if not (s_max and e_max):
+            ds, de = _default_sr_plan(pos_bin.shape[1], n_cells, sub, kmax)
+            s_max, e_max = s_max or ds, e_max or de
         rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
         rc2 = rc * rc
         inv_c = f32(nc) / span  # (3, 1)
-        co_s = _cell_coords(pos_src, lo_box, inv_c, nc)
-        cid_src = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
-        cid_src = jnp.where(m_in > 0, cid_src, n_cells)  # exclude out/0-mass
-        table, binned = _cell_table(cid_src, n_cells, cap)
+        co = _cell_coords(pos_bin, lo_box, inv_c, nc)
+        cid = (co[0] * nc + co[1]) * nc + co[2]
+        cid = jnp.where(inc, cid, n_cells)  # exclude out-of-box/padding
+        ptab, mtab, slab_cell, nsl, sbase, pslot, binned_all = _sr_tables(
+            cid, pos_bin, m_bin, n_cells, cap, s_max
+        )
+        binned = binned_all[:ns]
         m_over = jnp.where(binned, f32(0), m_in)
         rho_over_hat = jnp.fft.fftn(
             _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)
@@ -558,16 +674,25 @@ def accelerations_between(
     ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
-        co_t = _cell_coords(pos_tgt, lo_box, inv_c, nc)
-        pos_src_ext = jnp.concatenate(
-            [pos_src, jnp.zeros((3, 1), f32)], axis=1
-        )
-        m_binned = jnp.where(binned, m_in, f32(0))
-        msrc_ext = jnp.concatenate([m_binned, jnp.zeros((1,), f32)])
-        acc = acc + _short_range(
-            pos_tgt, in_tgt, co_t, table, pos_src_ext, msrc_ext, nc, cap,
-            rc2, sub,
-        )
+        wl_t, wl_s, n_e = _sr_worklist(slab_cell, nsl, sbase, nc, sub,
+                                       kmax, e_max)
+        atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
+        tgt_slot = pslot if same_set else pslot[ns:]
+        tgt_binned = binned_all if same_set else binned_all[ns:]
+        a_sr = atab[:, tgt_slot]
+        # Overflowed TARGETS get the complement kernel of the BINNED
+        # mass via the mesh (the reciprocal of the overflow-source
+        # deposit — full-mesh on both sides of every overflow pair):
+        comp = jnp.stack([
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
+                :ng, :ng, :ng],
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
+                :ng, :ng, :ng],
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
+                :ng, :ng, :ng],
+        ])
+        a_comp = _gather(comp, pos_tgt, lo, inv_h, ng)
+        acc = acc + jnp.where(tgt_binned[None, :], a_sr, a_comp)
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
     for M_k, com_k in zip(oct_masses, oct_coms):
         acc = acc + _monopole(pos_tgt, M_k, com_k)
@@ -581,6 +706,8 @@ def sharded_accelerations(
     grid: int = DEFAULT_GRID,
     cutoff_cells: int = 0,
     capacity: int = 0,
+    sr_slabs: int = 0,
+    sr_entries: int = 0,
     **_opts,
 ) -> jax.Array:
     """Distributed mesh solve for a particle-sharded state — call INSIDE
@@ -605,9 +732,12 @@ def sharded_accelerations(
     P3M (``cutoff_cells > 0``): the mesh half stays local+psum; the
     exact short-range pass all-gathers sources ONCE per step — the
     particle axis is INDEX-sharded, not spatial, so a local cell list
-    would miss cross-shard neighbor pairs.  The SR pair sweep itself
-    serves only LOCAL targets (O(N/K * candidates) per shard); the
-    replicated residue is the table sort and the overflow deposit."""
+    would miss cross-shard neighbor pairs.  The slab tables and
+    worklist are built replicated (deterministic, so shards agree), the
+    SWEEP's entry chunks are split across shards (each shard runs
+    ~1/K of the dense pair blocks) and ONE psum reduces the per-slot
+    acceleration table; the replicated residue is the table sort and
+    the worklist build."""
     from jax import lax
 
     ng = int(grid)
@@ -656,14 +786,23 @@ def sharded_accelerations(
         m_in_all = lax.all_gather(m_in_l, axis, axis=0, tiled=True)
         nc, sub = _cell_grid_params(ng, cutoff_cells)
         n_cells = nc * nc * nc
-        cap = int(capacity) or _auto_capacity(pos_all.shape[1], n_cells)
+        n_all = pos_all.shape[1]
+        cap = int(capacity) or _auto_capacity(n_all, n_cells)
+        kmax = -((-cap) // SLAB)
+        s_max = int(sr_slabs)
+        e_max = int(sr_entries)
+        if not (s_max and e_max):
+            ds, de = _default_sr_plan(n_all, n_cells, sub, kmax)
+            s_max, e_max = s_max or ds, e_max or de
         rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
         rc2 = rc * rc
         inv_c = f32(nc) / span
         co_s = _cell_coords(pos_all, lo_box, inv_c, nc)
         cid = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
         cid = jnp.where(m_in_all > 0, cid, n_cells)
-        table, binned = _cell_table(cid, n_cells, cap)
+        ptab, mtab, slab_cell, nsl, sbase, pslot, binned = _sr_tables(
+            cid, pos_all, m_in_all, n_cells, cap, s_max
+        )
         # This shard's slice of the global binned flags -> its share of
         # the overflow deposit stays local (then one psum like rho).
         i0 = lax.axis_index(axis) * nl
@@ -688,16 +827,31 @@ def sharded_accelerations(
     ])
     acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
     if cutoff_cells:
-        co_t = _cell_coords(pos_l, lo_box, inv_c, nc)
-        pos_src_ext = jnp.concatenate(
-            [pos_all, jnp.zeros((3, 1), f32)], axis=1
-        )
-        m_binned = jnp.where(binned, m_in_all, f32(0))
-        msrc_ext = jnp.concatenate([m_binned, jnp.zeros((1,), f32)])
-        acc = acc + _short_range(
-            pos_l, in_l, co_t, table, pos_src_ext, msrc_ext, nc, cap,
-            rc2, sub,
-        )
+        # Sweep 1/K of the worklist's entry chunks per shard, psum the
+        # per-slot acceleration table once, then serve LOCAL targets
+        # from their slots (entries are work units, so splitting the
+        # chunk range load-balances regardless of clustering).
+        wl_t, wl_s, n_e = _sr_worklist(slab_cell, nsl, sbase, nc, sub,
+                                       kmax, e_max)
+        chunk = 512
+        k_sh = lax.axis_size(axis)
+        nch_total = -((-e_max) // chunk)
+        nch_l = -((-nch_total) // k_sh)
+        atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2, chunk=chunk,
+                         chunk_lo=lax.axis_index(axis) * nch_l,
+                         chunk_cap=nch_l)
+        atab = psum(atab)
+        a_sr = atab[:, lax.dynamic_slice(pslot, (i0,), (nl,))]
+        comp = jnp.stack([
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
+                :ng, :ng, :ng],
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
+                :ng, :ng, :ng],
+            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
+                :ng, :ng, :ng],
+        ])
+        a_comp = _gather(comp, pos_l, lo, inv_h, ng)
+        acc = acc + jnp.where(binned_l[None, :], a_sr, a_comp)
     acc = jnp.where(in_l > 0, acc, _monopole(pos_l, M_in, com_in))
     for M_k, com_k in zip(oct_masses, oct_coms):
         acc = acc + _monopole(pos_l, M_k, com_k)
@@ -706,36 +860,39 @@ def sharded_accelerations(
 
 def accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
-    cutoff_cells: int = 0, capacity: int = 0, **_opts
+    cutoff_cells: int = 0, capacity: int = 0, sr_slabs: int = 0,
+    sr_entries: int = 0, **_opts
 ) -> jax.Array:
     """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N)."""
     return accelerations_between(pos, pos, mass, grid=grid,
                                  cutoff_cells=cutoff_cells,
-                                 capacity=capacity)
+                                 capacity=capacity, sr_slabs=sr_slabs,
+                                 sr_entries=sr_entries)
 
 
 def p3m_accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
-    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0, **_opts
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
+    sr_slabs: int = 0, sr_entries: int = 0, **_opts
 ) -> jax.Array:
     """The ``p3m`` registry entry: the mesh solver with the short-range
     correction ON by default (accurate on clustered distributions)."""
     return accelerations_between(
         pos, pos, mass, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
-        capacity=capacity,
+        capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
     )
 
 
 def p3m_accelerations_between(
     pos_tgt: jax.Array, pos_src: jax.Array, mass_src: jax.Array,
     grid: int = DEFAULT_GRID, cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
-    capacity: int = 0, **_opts,
+    capacity: int = 0, sr_slabs: int = 0, sr_entries: int = 0, **_opts,
 ) -> jax.Array:
     return accelerations_between(
         pos_tgt, pos_src, mass_src, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
-        capacity=capacity,
+        capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
     )
 
 
@@ -798,6 +955,65 @@ def suggest_capacity(
     while cap < headroom * occ and cap < max_capacity:
         cap *= 2
     return cap
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
+    """Measured (S, E) for the short-range plan: total slab count and
+    total worklist entry count — E = sum_c nsl[c] * sum_off nsl[c+off],
+    the exact count _sr_worklist will produce for this state."""
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    lo_box, hi_box = _robust_box(pos, mass)
+    nc, sub = _cell_grid_params(int(grid), int(cutoff))
+    n_cells = nc * nc * nc
+    span = hi_box - lo_box
+    m_in = mass * _inside(pos, lo_box, hi_box)
+    co = _cell_coords(pos, lo_box, f32(nc) / span, nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    cid = jnp.where(m_in > 0, cid, n_cells)
+    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(1)[:-1]
+    nsl = -((-jnp.minimum(counts, cap)) // SLAB)
+    g = nsl.reshape(nc, nc, nc)
+    p = jnp.pad(g, sub)
+    nb = jnp.zeros_like(g)
+    for ox, oy, oz in _neighbor_offsets(sub):
+        nb = nb + jax.lax.dynamic_slice(
+            p, (sub + ox, sub + oy, sub + oz), (nc, nc, nc))
+    return jnp.sum(nsl), jnp.sum(g * nb)
+
+
+def suggest_sr_plan(
+    pos, mass, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
+    headroom: float = 1.5,
+) -> dict:
+    """HOST-SIDE data-driven short-range plan: the measured slab count S
+    and worklist entry count E of the CONCRETE state, x ``headroom`` for
+    drift between block builds, rounded up to powers of two so repeated
+    re-suggestion over an evolving state yields stable jit shapes.
+
+    Static shapes under jit mean a traced call cannot size these from
+    the data — the simulation engine calls this once per block build
+    (like suggest_capacity); long clustering-evolving runs should
+    re-suggest periodically (scripts/exp_p3m_stress.py does per
+    sub-block).  Returns kwargs for the p3m entries:
+    ``{"capacity", "sr_slabs", "sr_entries"}``."""
+    cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells)
+    s, e = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells), cap)
+
+    def pow2_at_least(x):
+        v = 64
+        while v < x:
+            v *= 2
+        return v
+
+    return {
+        "capacity": cap,
+        "sr_slabs": pow2_at_least(int(s) * headroom),
+        "sr_entries": pow2_at_least(int(e) * headroom),
+    }
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -140,22 +140,29 @@ class _DeviceRunner(_BlockRunner):
         ddt = "bfloat16" if cfg.precision == "bf16" else "float32"
         resolved = resolve(cfg.kernel, n=state.n_padded, dist_dtype=ddt)
         if resolved == "p3m" or (resolved == "pm" and cfg.pm_cutoff):
-            # P3M cell capacity is a static shape under jit, so it cannot
-            # follow the data inside the compiled block — size it here
-            # from the CONCRETE initial state (clustered cores make max
-            # occupancy wildly data-dependent; pm.suggest_capacity).
-            if not cfg.pm_capacity:
+            # The P3M cell capacity and short-range plan (slab/worklist
+            # sizes) are static shapes under jit, so they cannot follow
+            # the data inside the compiled block — size them here from
+            # the CONCRETE initial state (clustered cores make occupancy
+            # wildly data-dependent; pm.suggest_sr_plan).
+            if not (cfg.pm_capacity and cfg.pm_sr_slabs
+                    and cfg.pm_sr_entries):
                 from .ops.pm import (
                     DEFAULT_CUTOFF_CELLS,
                     DEFAULT_GRID,
-                    suggest_capacity,
+                    suggest_sr_plan,
                 )
 
-                cfg.pm_capacity = suggest_capacity(
+                plan = suggest_sr_plan(
                     state.pos, state.mass,
                     cfg.pm_grid or DEFAULT_GRID,
                     cfg.pm_cutoff or DEFAULT_CUTOFF_CELLS,
+                    capacity=cfg.pm_capacity,
                 )
+                cfg.pm_capacity = plan["capacity"]
+                cfg.pm_sr_slabs = cfg.pm_sr_slabs or plan["sr_slabs"]
+                cfg.pm_sr_entries = (cfg.pm_sr_entries
+                                     or plan["sr_entries"])
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"
@@ -383,10 +390,9 @@ class _DeviceRunner(_BlockRunner):
         max(open-loop model, measured first step).  The model (measured
         ~2-3x above actual on v5e) is the floor; the measurement
         (_measure_pm_step) corrects it on backends/grids the constants
-        do not describe.  P3M adds the short-range candidate sweep:
-        (2*sub+1)^3 * capacity candidate evaluations per particle."""
-        from .ops.pm import DEFAULT_CUTOFF_CELLS, DEFAULT_GRID, \
-            _cell_grid_params
+        do not describe.  P3M adds the short-range slab sweep:
+        sr_entries dense SLAB^2 pair blocks per step."""
+        from .ops.pm import DEFAULT_CUTOFF_CELLS, DEFAULT_GRID, SLAB
 
         cfg = self.cfg
         ng = cfg.pm_grid or DEFAULT_GRID
@@ -395,9 +401,8 @@ class _DeviceRunner(_BlockRunner):
             DEFAULT_CUTOFF_CELLS if cfg.kernel == "p3m" else 0
         )
         if cutoff:
-            _, sub = _cell_grid_params(ng, cutoff)
-            cands = (2 * sub + 1) ** 3 * max(cfg.pm_capacity, 64)
-            est += 2e-11 * self.state.n_padded * cands
+            entries = cfg.pm_sr_entries or 4 * self.state.n_padded // SLAB
+            est += 2e-12 * entries * SLAB * SLAB
         return max(est, self._pm_measured)
 
     def _cached(self, steps: int, build: Callable):

@@ -10,10 +10,10 @@ extract() { grep -E '^\s+[0-9]+' | awk '{print $1, $3}'; }
 
 want="$(extract < "$GOLDEN")"
 for args in "--kernel pallas" "--kernel pallas_sym" "--fused" \
-            "--kernel pallas --precision bf16"; do
+            "--kernel pallas --precision bf16" "--precision bf16"; do
     echo "== python -m nbody_tpu 2000 500 $args"
     got="$(python -m nbody_tpu 2000 500 $args 2>/dev/null | extract)"
-    if [ "$args" = "--kernel pallas --precision bf16" ]; then
+    if [[ "$args" == *"bf16"* ]]; then
         # bf16 distances: trajectory-level agreement is not expected in the
         # chaotic regime; just require a sane finite trace.
         echo "$got" | awk '{if ($2+0 != $2) exit 1}' \
@@ -47,4 +47,8 @@ r = json.loads(sys.argv[1])
 assert r["vs_baseline"] > 500, f"performance regression: {r['vs_baseline']}x"
 print(f"   perf sanity ok ({r['vs_baseline']}x baseline)")
 PY
+# Per-config perf-regression gate: floors pinned to measured round-2/3
+# rates (bench.py GATES); any tier below its floor fails the check.
+echo "== python bench.py --gate"
+python bench.py --gate
 echo "TPU acceptance: OK"

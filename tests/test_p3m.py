@@ -133,6 +133,60 @@ def test_p3m_registry_and_config():
     assert opts == {"grid": 32, "cutoff_cells": 6, "capacity": 128}
 
 
+def test_p3m_sharded_matches_single():
+    """Sharded p3m (local mesh deposit + grid psum; short-range entry
+    chunks split across shards + slot-table psum) agrees with the
+    single-device solve to summation-order tolerance."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    kw = dict(n=512, nsteps=50, kernel="p3m", pm_grid=32,
+              distribution="plummer", dt=0.01)
+    res = run(SimConfig(shards=4, comm="allgather", **kw), quiet=True)
+    ref = run(SimConfig(**kw), quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
+        assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)
+
+
+def test_suggest_sr_plan_measured_and_sufficient():
+    """The measured plan (slab count S, worklist entries E) must give
+    the SAME forces as the guaranteed default bounds — the plan is a
+    memory/size optimization, never an accuracy knob — and starving
+    sr_entries must degrade gracefully (finite, worse-or-equal)."""
+    pos, _, mass = plummer(2048, seed=8)
+    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+    assert set(plan) == {"capacity", "sr_slabs", "sr_entries"}
+    a_plan = np.asarray(pm.accelerations(pos, mass, grid=64,
+                                         cutoff_cells=4, **plan))
+    a_def = np.asarray(pm.accelerations(pos, mass, grid=64,
+                                        cutoff_cells=4,
+                                        capacity=plan["capacity"]))
+    np.testing.assert_allclose(a_plan, a_def, rtol=1e-5, atol=1e-10)
+    # plan sizes are powers of two (stable jit shapes on re-suggestion)
+    for key in ("sr_slabs", "sr_entries"):
+        v = plan[key]
+        assert v >= 64 and (v & (v - 1)) == 0, (key, v)
+    # truncation: a starved worklist drops SR pairs but stays finite
+    a_trunc = np.asarray(pm.accelerations(
+        pos, mass, grid=64, cutoff_cells=4, capacity=plan["capacity"],
+        sr_slabs=plan["sr_slabs"], sr_entries=256))
+    assert np.all(np.isfinite(a_trunc))
+
+
+def test_p3m_overflow_momentum_symmetric():
+    """Round-3 fix: capacity-overflowed particles fall back to
+    mesh-quality forces on BOTH sides of each pair (complement-kernel
+    deposit as sources, complement-of-binned gather as targets), so
+    momentum stays closed even under heavy overflow."""
+    pos, _, mass = plummer(2048, seed=9)
+    assert float(pm.cell_overflow_fraction(pos, mass, 64, 4, 16)) > 0.05
+    a = np.asarray(pm.accelerations(pos, mass, grid=64, cutoff_cells=4,
+                                    capacity=16))
+    flux = np.abs((mass[None, :] * a).sum(axis=1))
+    scale = np.abs(mass[None, :] * a).sum()
+    assert np.all(flux < 1e-4 * scale), (flux / scale)
+
+
 def test_suggest_capacity_data_driven():
     pos, _, mass = plummer(2048, seed=1)
     cap = pm.suggest_capacity(pos, mass, 128, 4)
