@@ -194,6 +194,8 @@ def _force_kernel_spectra(h, ng, rc2=None, complement=False, sharpen=False):
     short-range pass's job (see _taper).  ``complement=True`` samples the
     SHORT-RANGE part f*(1-S) instead — used to give capacity-overflowed
     sources a mesh-quality full force rather than a truncated one.
+    P3M callers needing BOTH parts use _p3m_spectra below, which pays
+    for one set of transforms instead of two.
 
     Full-complex transforms on purpose: this TPU backend's ``irfftn`` is
     NON-DETERMINISTIC and ~0.17 off from CPU at these sizes (measured,
@@ -219,6 +221,20 @@ def _force_kernel_spectra(h, ng, rc2=None, complement=False, sharpen=False):
         jnp.fft.fftn(ry * u3) * w,
         jnp.fft.fftn(rz * u3) * w,
     )
+
+
+def _p3m_spectra(h, ng, rc2):
+    """Tapered AND complement force-kernel spectra for one transform
+    price: sample the FULL kernel and the complement, transform both
+    (6 fftns), and recover the tapered part spectrally as full − comp
+    (exact linear identity f*S = f − f*(1−S)).  Saves 3 of the 9
+    per-step kernel fftns of the naive two-call formulation — measured
+    on the mesh-bound p3m step.  Returns ((kx,ky,kz), (sx,sy,sz)),
+    both CIC-sharpened."""
+    fx, fy, fz = _force_kernel_spectra(h, ng, sharpen=True)
+    sx, sy, sz = _force_kernel_spectra(h, ng, rc2=rc2, complement=True,
+                                       sharpen=True)
+    return (fx - sx, fy - sy, fz - sz), (sx, sy, sz)
 
 
 def _robust_box(pos, mass):
@@ -345,29 +361,34 @@ def _neighbor_offsets(sub: int):
 SLAB = 64
 
 
-def _sr_tables(cid, pos, mass, n_cells: int, cap: int, s_max: int):
-    """Slab-compact cell tables for the short-range sweep.
+def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
+    """Packed slab tables for the short-range sweep: ``SLAB`` CONSECUTIVE
+    cid-sorted particles per slab, cell boundaries ignored.
 
-    Sort particles by cell id and pack them into per-cell SLABS of
-    ``SLAB`` slots: cell c owns ``ceil(min(count_c, cap)/SLAB)``
-    CONSECUTIVE slabs (cumsum layout), so table space — and, via the
-    worklist, sweep work — scales with the OCCUPIED volume instead of
-    ``n_cells * cap``.  This replaced a per-target gather formulation
-    (round-3 draft) that was gather-bound on TPU: here every later read
-    is a whole-slab row, never a per-particle pick.
+    The compact support of the short-range factor makes this exact: a
+    pair beyond R_c has weight (1 - S) == 0.0 EXACTLY (see _taper), so
+    the sweep may visit any SUPERSET of the within-R_c pairs.  Packing
+    by sorted position instead of by cell keeps every slab 100% full —
+    the per-cell layout this replaced left slabs ~ occupancy/SLAB full
+    (3% on uniform ICs at 2 particles/cell) and paid ~30x the pair work
+    in padding (measured: 178 ms/step vs the exact kernel's 13 at
+    N=65536 uniform).
 
     ``cid`` is (Ns,) int32 in [0, n_cells]; the value ``n_cells`` marks
     EXCLUDED particles (out-of-box, zero-mass — and, in the *between*
     case, nothing: massless target entries are included so they can
-    RECEIVE forces without exerting any).
+    RECEIVE forces without exerting any).  Capacity-overflowed
+    particles (per-cell rank >= cap) are excluded from the tables like
+    round 2 — they keep mesh-quality full forces via the complement
+    kernel — which bounds the core's quadratic pair work.
 
     Returns ``(ptab (3, (s_max+1)*SLAB), mtab ((s_max+1)*SLAB,),
-    slab_cell (s_max+1,), nsl (n_cells,), sbase (n_cells,),
-    pslot (Ns,), binned (Ns,))``; slab ``s_max`` is the zero-mass
-    sentinel (it also absorbs excluded/overflowed dumps), and
-    ``binned`` is False for excluded, capacity-overflowed, or
-    s_max-overflowed particles — all of which the caller must serve at
-    mesh quality instead."""
+    slab_lo (s_max,), slab_hi (s_max,), pslot (Ns,), binned (Ns,))``:
+    slab ``s_max`` is the zero-mass sentinel, ``slab_lo/hi`` are each
+    real slab's first/last cell id (``n_cells`` for empty tail slots,
+    keeping both arrays sorted for the range searches), and ``binned``
+    is False for excluded/overflowed particles — the caller serves
+    those at mesh quality."""
     i32 = jnp.int32
     ns = cid.shape[0]
     order = jnp.argsort(cid).astype(i32)
@@ -375,64 +396,93 @@ def _sr_tables(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     cells = jnp.arange(n_cells, dtype=i32)
     starts = jnp.searchsorted(sc, cells, side="left").astype(i32)
     rank = jnp.arange(ns, dtype=i32) - starts[jnp.clip(sc, 0, n_cells - 1)]
-    counts = jnp.zeros((n_cells + 1,), i32).at[sc].add(1)[:-1]
-    nsl = -((-jnp.minimum(counts, cap)) // SLAB)  # ceil(included/SLAB)
-    scum = jnp.cumsum(nsl)
-    sbase = (scum - nsl).astype(i32)
-    slab_cell = jnp.full((s_max + 1,), n_cells, i32)
-    for k in range(max(1, -((-cap) // SLAB))):
-        idx = jnp.where(nsl > k, sbase + k, s_max + 1)  # OOB -> dropped
-        slab_cell = slab_cell.at[idx].set(cells, mode="drop")
-    slot = sbase[jnp.clip(sc, 0, n_cells - 1)] * SLAB + rank
-    valid = (sc < n_cells) & (rank < cap) & (slot < s_max * SLAB)
+    valid = (sc < n_cells) & (rank < cap)
+    # Pack: binned particles first in cid order, the rest to the tail
+    # (stable sort of the already-sorted keys preserves cid order).
+    key = jnp.where(valid, sc, n_cells)
+    pord = jnp.argsort(key, stable=True).astype(i32)
+    perm = order[pord]  # original particle index per packed position
+    pc = key[pord]  # packed cids, sentinel tail
+    n_bin = jnp.sum(valid.astype(i32))
     nslots = (s_max + 1) * SLAB
-    slot = jnp.where(valid, slot, nslots - 1)  # dump into the sentinel
+    ppos = jnp.arange(ns, dtype=i32)
+    ok = (ppos < n_bin) & (ppos < s_max * SLAB)
+    slot = jnp.where(ok, ppos, nslots - 1)  # tail -> sentinel slot
     f32 = jnp.float32
     ptab = jnp.zeros((3, nslots), f32).at[:, slot].set(
-        jnp.where(valid[None, :], pos[:, order], f32(0)))
+        jnp.where(ok[None, :], pos[:, perm], f32(0)))
     mtab = jnp.zeros((nslots,), f32).at[slot].set(
-        jnp.where(valid, mass[order], f32(0)))
-    pslot = jnp.zeros((ns,), i32).at[order].set(slot)
-    binned = jnp.zeros((ns,), bool).at[order].set(valid)
-    return ptab, mtab, slab_cell, nsl, sbase, pslot, binned
+        jnp.where(ok, mass[perm], f32(0)))
+    pslot = jnp.zeros((ns,), i32).at[perm].set(slot)
+    binned = jnp.zeros((ns,), bool).at[perm].set(ok)
+    # Per-slab cid bounds (real slabs only; empty tail slots pinned to
+    # n_cells so slab_lo AND slab_hi stay sorted for searchsorted).
+    sidx = jnp.arange(s_max, dtype=i32) * SLAB
+    has = sidx < n_bin
+    last = jnp.clip(jnp.minimum(sidx + (SLAB - 1), n_bin - 1), 0, ns - 1)
+    slab_lo = jnp.where(has, pc[jnp.minimum(sidx, ns - 1)], n_cells)
+    slab_hi = jnp.where(has, pc[last], n_cells)
+    return ptab, mtab, slab_lo, slab_hi, pslot, binned
 
 
-def _sr_worklist(slab_cell, nsl, sbase, nc: int, sub: int, kmax: int,
-                 e_max: int):
+def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
     """Static-shape worklist of (target-slab, source-slab) dense pair
-    blocks: for every real slab t and every in-range neighbor offset of
-    t's cell, one entry per slab of that neighbor cell.  Entries are
-    laid out t-major by an exclusive cumsum (deterministic, so every
-    shard of a replicated build agrees); entries beyond ``e_max`` are
-    DROPPED — size ``e_max`` from ``suggest_sr_plan``'s measured count
-    (the default bound in accelerations_between is exact for
-    ``kmax * n_off`` entries per slab and never truncates).
+    blocks from PACKED slab cid bounds.
+
+    For target slab t covering cells [lo_t, hi_t] and each of the
+    (2*sub+1)^2 (ox, oy) stencil rows, the candidate sources are the
+    slabs overlapping the cid window [lo_t + off - sub, hi_t + off + sub]
+    (the z offsets merge into the +-sub because cid is z-minor) — a
+    CONTIGUOUS slab interval found by two searchsorteds.  Windows of
+    successive rows can overlap when a slab spans many cells; a running
+    max over the (off-ascending) rows clips each interval past its
+    predecessors, so no (t, s) pair is ever emitted twice (pair forces
+    would double).  Windows may also cover out-of-stencil cells (z
+    wrap-around into a neighboring column, sparse-slab cid gaps): those
+    extra pairs are beyond R_c and contribute EXACTLY zero (taper
+    support), costing only the wasted block.
+
+    Entries are laid out t-major by an exclusive cumsum (deterministic,
+    so every shard of a replicated build agrees); entries beyond
+    ``e_max`` are DROPPED — size from ``suggest_sr_plan``'s measured
+    count, or the guaranteed (dedup <= one disjoint interval set per
+    target => <= s_max entries per target) bound s_max^2.
 
     Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries)`` with
     ``n_entries`` a traced scalar — the sweep's loop bound, so the
     padded worklist tail costs nothing at runtime."""
     i32 = jnp.int32
+    s_max = slab_lo.shape[0]
     n_cells = nc * nc * nc
-    off_arr = jnp.asarray(_neighbor_offsets(sub), i32).T  # (3, n_off)
-    s_max = slab_cell.shape[0] - 1
-    tc = slab_cell[:s_max]
-    coords = jnp.stack([tc // (nc * nc), (tc // nc) % nc, tc % nc])
-    nbc = coords[:, :, None] + off_arr[:, None, :]  # (3, s_max, n_off)
-    ok = jnp.all((nbc >= 0) & (nbc < nc), axis=0) & (tc < n_cells)[:, None]
-    scell = jnp.where(ok, (nbc[0] * nc + nbc[1]) * nc + nbc[2], 0)
-    cnt = jnp.where(ok, nsl[scell], 0)  # (s_max, n_off) source slabs
-    sb = sbase[scell]
+    offs = sorted((ox * nc + oy) * nc for ox in range(-sub, sub + 1)
+                  for oy in range(-sub, sub + 1))
+    off_arr = jnp.asarray(offs, i32)[None, :]  # (1, R)
+    n_rows = off_arr.shape[1]
+    has = slab_lo < n_cells
+    lo_w = slab_lo[:, None] + (off_arr - sub)  # (S, R) window bounds
+    hi_w = slab_hi[:, None] + (off_arr + sub)
+    s0 = jnp.searchsorted(slab_hi, lo_w.reshape(-1),
+                          side="left").reshape(s_max, n_rows).astype(i32)
+    s1 = jnp.searchsorted(slab_lo, hi_w.reshape(-1),
+                          side="right").reshape(s_max, n_rows).astype(i32)
+    run = jnp.concatenate(
+        [jnp.zeros((s_max, 1), i32),
+         jax.lax.cummax(s1, axis=1)[:, :-1]], axis=1)
+    s0 = jnp.maximum(s0, run)
+    s1 = jnp.maximum(s1, s0)
+    cnt = jnp.where(has[:, None], s1 - s0, 0)  # (S, R)
     flat = cnt.reshape(-1)
-    base = (jnp.cumsum(flat) - flat).reshape(cnt.shape).astype(i32)
-    wl_t = jnp.full((e_max,), s_max, i32)
-    wl_s = jnp.full((e_max,), s_max, i32)
-    t_ids = jnp.broadcast_to(jnp.arange(s_max, dtype=i32)[:, None],
-                             cnt.shape)
-    for k in range(kmax):
-        eidx = jnp.where(cnt > k, base + k, e_max)  # OOB -> dropped
-        wl_t = wl_t.at[eidx].set(t_ids, mode="drop")
-        wl_s = wl_s.at[eidx].set(sb + k, mode="drop")
-    return wl_t, wl_s, jnp.sum(flat)
+    cum = jnp.cumsum(flat)
+    n_e = cum[-1]
+    base = (cum - flat)
+    e_idx = jnp.arange(e_max, dtype=i32)
+    j = jnp.searchsorted(cum, e_idx, side="right").astype(i32)
+    ok = e_idx < n_e
+    j_c = jnp.minimum(j, flat.shape[0] - 1)
+    wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
+    wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
+                     s_max).astype(i32)
+    return wl_t, wl_s, n_e
 
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
@@ -488,14 +538,18 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
 
 
 def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
-    """Guaranteed-sufficient static bounds when the caller provides no
-    measured plan: S <= occupied cells + ceil-slack, and every slab has
-    at most n_off * kmax entries.  Exact (never truncates), but far
-    larger than a measured plan for clustered data — the engine sizes
-    real runs via suggest_sr_plan instead."""
-    s_max = min(n_bin, n_cells) + n_bin // SLAB + 1
-    n_off = (2 * sub + 1) ** 3
-    return s_max, s_max * n_off * kmax
+    """Static bounds when the caller provides no measured plan.
+
+    ``s_max = ceil(n/SLAB) + 1`` is exact for packed slabs.  The entry
+    bound uses the dedup invariant (each target's source intervals are
+    disjoint in [0, s_max) => <= s_max entries per target): s_max^2 is
+    guaranteed-sufficient, capped at 2^22 to bound worklist memory —
+    the cap binds only above N ~ 131k, where real runs come through the
+    engine's measured suggest_sr_plan (and a capped worklist degrades
+    gracefully: dropped tail entries lose pairs, never corrupt)."""
+    del n_cells, kmax
+    s_max = n_bin // SLAB + 1 + (1 if n_bin % SLAB else 0)
+    return s_max, min(s_max * s_max, 1 << 22)
 
 
 def _monopole(pos_tgt, m_tot, com):
@@ -649,49 +703,76 @@ def accelerations_between(
         co = _cell_coords(pos_bin, lo_box, inv_c, nc)
         cid = (co[0] * nc + co[1]) * nc + co[2]
         cid = jnp.where(inc, cid, n_cells)  # exclude out-of-box/padding
-        ptab, mtab, slab_cell, nsl, sbase, pslot, binned_all = _sr_tables(
+        ptab, mtab, slab_lo, slab_hi, pslot, binned_all = _sr_pack(
             cid, pos_bin, m_bin, n_cells, cap, s_max
         )
         binned = binned_all[:ns]
         m_over = jnp.where(binned, f32(0), m_in)
-        rho_over_hat = jnp.fft.fftn(
-            _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)
-        )
-        kx, ky, kz = _force_kernel_spectra(h, ng, rc2=rc2, sharpen=True)
-        sx, sy, sz = _force_kernel_spectra(h, ng, rc2=rc2, complement=True,
-                                           sharpen=True)
-        gx = rho_hat * kx + rho_over_hat * sx
-        gy = rho_hat * ky + rho_over_hat * sy
-        gz = rho_hat * kz + rho_over_hat * sz
+        # ANY unbinned in-box bin candidate (overflowed source mass OR a
+        # truncated massless target copy) activates the complement-mesh
+        # machinery; with a suggested capacity the common case is NO
+        # overflow, and lax.cond then skips its deposit, 7 (2ng)^3
+        # transforms and the extra gather entirely.
+        has_over = jnp.any(jnp.logical_and(jnp.logical_not(binned_all),
+                                           inc))
+        (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
+
+        def _grids_over(_):
+            rho_over_hat = jnp.fft.fftn(
+                _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)
+            )
+            g = jnp.stack([
+                -jnp.fft.ifftn(rho_hat * kx + rho_over_hat * sx).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * ky + rho_over_hat * sy).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * kz + rho_over_hat * sz).real[
+                    :ng, :ng, :ng],
+            ])
+            # Overflowed TARGETS get the complement kernel of the BINNED
+            # mass via the mesh (the reciprocal of the overflow-source
+            # deposit — full-mesh on both sides of every overflow pair):
+            comp = jnp.stack([
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
+                    :ng, :ng, :ng],
+            ])
+            return g, comp
+
+        def _grids_plain(_):
+            g = jnp.stack([
+                -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
+            ])
+            return g, jnp.zeros_like(g)
+
+        acc_grids, comp_grids = jax.lax.cond(
+            has_over, _grids_over, _grids_plain, operand=None)
     else:
         kx, ky, kz = _force_kernel_spectra(h, ng)
         gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
-    # a(c) = sum_{c'} rho(c') f(c' - c) = -(rho * f)(c) for antisymmetric f
-    acc_grids = jnp.stack([
-        -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
-    ])
+        # a(c) = sum_{c'} rho(c') f(c'-c) = -(rho*f)(c), antisymmetric f
+        acc_grids = jnp.stack([
+            -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
+            -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
+            -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
+        ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
-        wl_t, wl_s, n_e = _sr_worklist(slab_cell, nsl, sbase, nc, sub,
-                                       kmax, e_max)
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
         atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
         tgt_slot = pslot if same_set else pslot[ns:]
         tgt_binned = binned_all if same_set else binned_all[ns:]
         a_sr = atab[:, tgt_slot]
-        # Overflowed TARGETS get the complement kernel of the BINNED
-        # mass via the mesh (the reciprocal of the overflow-source
-        # deposit — full-mesh on both sides of every overflow pair):
-        comp = jnp.stack([
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
-                :ng, :ng, :ng],
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
-                :ng, :ng, :ng],
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
-                :ng, :ng, :ng],
-        ])
-        a_comp = _gather(comp, pos_tgt, lo, inv_h, ng)
+        a_comp = jax.lax.cond(
+            has_over,
+            lambda _: _gather(comp_grids, pos_tgt, lo, inv_h, ng),
+            lambda _: jnp.zeros((3, pos_tgt.shape[1]), f32),
+            operand=None)
         acc = acc + jnp.where(tgt_binned[None, :], a_sr, a_comp)
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
     for M_k, com_k in zip(oct_masses, oct_coms):
@@ -800,39 +881,69 @@ def sharded_accelerations(
         co_s = _cell_coords(pos_all, lo_box, inv_c, nc)
         cid = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
         cid = jnp.where(m_in_all > 0, cid, n_cells)
-        ptab, mtab, slab_cell, nsl, sbase, pslot, binned = _sr_tables(
+        ptab, mtab, slab_lo, slab_hi, pslot, binned = _sr_pack(
             cid, pos_all, m_in_all, n_cells, cap, s_max
         )
         # This shard's slice of the global binned flags -> its share of
-        # the overflow deposit stays local (then one psum like rho).
+        # the overflow deposit stays local (then one psum like rho; the
+        # deposit+psum stay OUTSIDE the overflow cond so every shard
+        # runs the same collectives unconditionally — the cond predicate
+        # below is replicated, but keeping collectives out of branches
+        # is the simpler invariant).
         i0 = lax.axis_index(axis) * nl
         binned_l = lax.dynamic_slice(binned, (i0,), (nl,))
         m_over_l = jnp.where(binned_l, f32(0), m_in_l)
-        rho_over_hat = jnp.fft.fftn(
-            psum(_deposit(pos_l, m_over_l, lo, inv_h, ng)), s=(m, m, m)
-        )
-        kx, ky, kz = _force_kernel_spectra(h, ng, rc2=rc2, sharpen=True)
-        sx, sy, sz = _force_kernel_spectra(h, ng, rc2=rc2, complement=True,
-                                           sharpen=True)
-        gx = rho_hat * kx + rho_over_hat * sx
-        gy = rho_hat * ky + rho_over_hat * sy
-        gz = rho_hat * kz + rho_over_hat * sz
+        rho_over = psum(_deposit(pos_l, m_over_l, lo, inv_h, ng))
+        # Replicated predicate (same gathered tables on every shard).
+        has_over = jnp.any(jnp.logical_and(jnp.logical_not(binned),
+                                           m_in_all > 0))
+        (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
+
+        def _grids_over(_):
+            rho_over_hat = jnp.fft.fftn(rho_over, s=(m, m, m))
+            g = jnp.stack([
+                -jnp.fft.ifftn(rho_hat * kx + rho_over_hat * sx).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * ky + rho_over_hat * sy).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * kz + rho_over_hat * sz).real[
+                    :ng, :ng, :ng],
+            ])
+            comp = jnp.stack([
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
+                    :ng, :ng, :ng],
+                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
+                    :ng, :ng, :ng],
+            ])
+            return g, comp
+
+        def _grids_plain(_):
+            g = jnp.stack([
+                -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
+                -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
+            ])
+            return g, jnp.zeros_like(g)
+
+        acc_grids, comp_grids = jax.lax.cond(
+            has_over, _grids_over, _grids_plain, operand=None)
     else:
         kx, ky, kz = _force_kernel_spectra(h, ng)
         gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
-    acc_grids = jnp.stack([
-        -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
-        -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
-    ])
+        acc_grids = jnp.stack([
+            -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
+            -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
+            -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
+        ])
     acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
     if cutoff_cells:
         # Sweep 1/K of the worklist's entry chunks per shard, psum the
         # per-slot acceleration table once, then serve LOCAL targets
         # from their slots (entries are work units, so splitting the
         # chunk range load-balances regardless of clustering).
-        wl_t, wl_s, n_e = _sr_worklist(slab_cell, nsl, sbase, nc, sub,
-                                       kmax, e_max)
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
         chunk = 512
         k_sh = lax.axis_size(axis)
         nch_total = -((-e_max) // chunk)
@@ -842,15 +953,11 @@ def sharded_accelerations(
                          chunk_cap=nch_l)
         atab = psum(atab)
         a_sr = atab[:, lax.dynamic_slice(pslot, (i0,), (nl,))]
-        comp = jnp.stack([
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
-                :ng, :ng, :ng],
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
-                :ng, :ng, :ng],
-            -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
-                :ng, :ng, :ng],
-        ])
-        a_comp = _gather(comp, pos_l, lo, inv_h, ng)
+        a_comp = jax.lax.cond(
+            has_over,
+            lambda _: _gather(comp_grids, pos_l, lo, inv_h, ng),
+            lambda _: jnp.zeros((3, nl), f32),
+            operand=None)
         acc = acc + jnp.where(binned_l[None, :], a_sr, a_comp)
     acc = jnp.where(in_l > 0, acc, _monopole(pos_l, M_in, com_in))
     for M_k, com_k in zip(oct_masses, oct_coms):
@@ -959,12 +1066,15 @@ def suggest_capacity(
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
-    """Measured (S, E) for the short-range plan: total slab count and
-    total worklist entry count — E = sum_c nsl[c] * sum_off nsl[c+off],
-    the exact count _sr_worklist will produce for this state."""
+    """Measured (S, E) for the short-range plan: packed slab count and
+    the exact worklist entry count _sr_ranges will produce for this
+    state (the tables are built at the static ceil(Ns/SLAB)+1 bound
+    just for counting; the entry count is independent of tail
+    padding)."""
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
+    ns = pos.shape[1]
     lo_box, hi_box = _robust_box(pos, mass)
     nc, sub = _cell_grid_params(int(grid), int(cutoff))
     n_cells = nc * nc * nc
@@ -973,15 +1083,13 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
     co = _cell_coords(pos, lo_box, f32(nc) / span, nc)
     cid = (co[0] * nc + co[1]) * nc + co[2]
     cid = jnp.where(m_in > 0, cid, n_cells)
-    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(1)[:-1]
-    nsl = -((-jnp.minimum(counts, cap)) // SLAB)
-    g = nsl.reshape(nc, nc, nc)
-    p = jnp.pad(g, sub)
-    nb = jnp.zeros_like(g)
-    for ox, oy, oz in _neighbor_offsets(sub):
-        nb = nb + jax.lax.dynamic_slice(
-            p, (sub + ox, sub + oy, sub + oz), (nc, nc, nc))
-    return jnp.sum(nsl), jnp.sum(g * nb)
+    s_cap = ns // SLAB + 2
+    _, _, slab_lo, slab_hi, _, binned = _sr_pack(
+        cid, pos, m_in, n_cells, int(cap), s_cap)
+    # e_max=1: only the traced n_entries matters here.
+    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
+    n_bin = jnp.sum(binned.astype(jnp.int32))
+    return n_bin // SLAB + 2, n_e
 
 
 def suggest_sr_plan(

@@ -54,11 +54,12 @@ def crossover(args):
         for n in sizes:
             state = make_state(n, pad_multiple=1024, distribution=dist,
                                seed=42 if dist == "reference" else 7)
-            cap = pm.suggest_capacity(state.pos, state.mass)
+            plan = pm.suggest_sr_plan(state.pos, state.mass)
+            cap = plan["capacity"]
             tiers = {
                 "exact": make_accel_fn("auto"),
                 "pm": make_accel_fn("pm"),
-                "p3m": make_accel_fn("p3m", capacity=cap),
+                "p3m": make_accel_fn("p3m", **plan),
             }
             t_exact = None
             for name, fn in tiers.items():
@@ -109,14 +110,17 @@ def collapse(args):
                         seed=5)
     pe_fn = jax.jit(potential_energy)
     e0 = float(kinetic_energy(state0)) + float(pe_fn(state0))
-    cap = pm.suggest_capacity(state0.pos, state0.mass)
+    plan = pm.suggest_sr_plan(state0.pos, state0.mass)
+    # collapse concentrates mass hard; give the static plan the same
+    # growth headroom the engine's per-block re-suggestion would.
+    plan = {k: (v * 4 if k != "capacity" else v) for k, v in plan.items()}
     print(f"\ncollapse: N={n}, leapfrog dt=0.001, {steps} steps, "
-          f"E0={e0:.6e}, p3m capacity={cap}")
+          f"E0={e0:.6e}, p3m plan={plan}")
     sub = 100  # sub-blocks keep each executable under the ~1 min watchdog
     for name, fn in (
         ("exact", make_accel_fn("auto")),
         ("pm", make_accel_fn("pm")),
-        ("p3m", make_accel_fn("p3m", capacity=cap)),
+        ("p3m", make_accel_fn("p3m", **plan)),
     ):
         blk = make_block_fn(fn, 0.001, sub, integrator="leapfrog")
         out, ke = blk(state0)  # warm-up (state0 immutable)
