@@ -448,9 +448,12 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
     count, or the guaranteed (dedup <= one disjoint interval set per
     target => <= s_max entries per target) bound s_max^2.
 
-    Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries)`` with
-    ``n_entries`` a traced scalar — the sweep's loop bound, so the
-    padded worklist tail costs nothing at runtime."""
+    Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries,
+    row_ptr (s_max+1,))`` with ``n_entries`` a traced scalar — the
+    sweep's loop bound, so the padded worklist tail costs nothing at
+    runtime — and ``row_ptr`` the CSR bounds of each target slab's
+    (contiguous, t-major) entry run, the Pallas sweep's per-program
+    loop range."""
     i32 = jnp.int32
     s_max = slab_lo.shape[0]
     n_cells = nc * nc * nc
@@ -482,7 +485,11 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
     wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
     wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
                      s_max).astype(i32)
-    return wl_t, wl_s, n_e
+    row_ptr = jnp.concatenate(
+        [jnp.zeros((1,), i32),
+         jnp.minimum(cum.reshape(s_max, n_rows)[:, -1],
+                     e_max).astype(i32)])
+    return wl_t, wl_s, n_e, row_ptr
 
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
@@ -535,6 +542,107 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
     atab = jnp.zeros((3, s_max + 1, SLAB), f32)
     atab = jax.lax.fori_loop(chunk_lo, hi, body, atab)
     return atab.reshape(3, (s_max + 1) * SLAB)
+
+
+def _sr_sweep_pallas(ptab, mtab, row_ptr, wl_s, bounds, rc2,
+                     interpret: bool = False):
+    """The short-range sweep as a Pallas TPU kernel: grid over TARGET
+    slabs, each program owning its (3, SLAB) output block exclusively
+    (no read-modify-write races), looping its CSR entry run
+    [row_ptr[t], row_ptr[t+1]) clipped to ``bounds`` — the sharded
+    path's per-shard entry range (single-entry granularity, so the
+    split load-balances regardless of clustering).
+
+    The XLA-composed _sr_sweep materializes (chunk, SLAB, SLAB) gather
+    blocks through HBM each loop step; here the tables are
+    VMEM-resident (12.6 MB + 4.2 MB at N=1M), the worklist and row
+    pointers ride scalar prefetch (SMEM), and each entry is one dense
+    (SLAB, SLAB) VPU block: slice source slab rows (3, SLAB) straight
+    from the resident table, broadcast against the per-program
+    transposed target tile (SLAB, 3), lane-reduce per component.  Same
+    arithmetic and accumulation order as _sr_sweep's per-entry block,
+    so results agree to summation-order tolerance."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..utils import device_caps
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nslots = ptab.shape[1]
+    s_max = nslots // SLAB - 1
+
+    def kern(row_ptr_ref, wl_s_ref, bounds_ref, rc2_ref, ptab_ref,
+             mtab_ref, out_ref, ttile_s):
+        # Python-float epsilon: a jnp scalar built OUTSIDE the kernel
+        # trace would be a captured const, which pallas_call rejects.
+        eps2 = float(SOFTENING_SQUARED)
+        t = pl.program_id(0)
+        e0 = jnp.maximum(row_ptr_ref[t], bounds_ref[0])
+        e1 = jnp.minimum(row_ptr_ref[t + 1], bounds_ref[1])
+        rc2v = rc2_ref[0, 0]
+        # One (3,SLAB)->(SLAB,3) relayout per target slab, amortized
+        # over its whole entry run (the pallas_sym i-tile pattern).
+        ttile_s[...] = jnp.transpose(ptab_ref[:, pl.ds(t * SLAB, SLAB)])
+        xt = ttile_s[:, 0:1]  # (SLAB, 1)
+        yt = ttile_s[:, 1:2]
+        zt = ttile_s[:, 2:3]
+
+        def body(e, acc):
+            ax, ay, az = acc
+            s = wl_s_ref[e]
+            j0 = s * SLAB
+            xs = ptab_ref[0:1, pl.ds(j0, SLAB)]  # (1, SLAB)
+            ys = ptab_ref[1:2, pl.ds(j0, SLAB)]
+            zs = ptab_ref[2:3, pl.ds(j0, SLAB)]
+            ms = mtab_ref[0:1, pl.ds(j0, SLAB)]
+            dx = xs - xt  # (SLAB, SLAB): target sublane, source lane
+            dy = ys - yt
+            dz = zs - zt
+            r2 = dx * dx + dy * dy + dz * dz
+            u = jax.lax.rsqrt(r2 + eps2)
+            w = ms * (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
+            ax += jnp.sum(w * dx, axis=1, keepdims=True)
+            ay += jnp.sum(w * dy, axis=1, keepdims=True)
+            az += jnp.sum(w * dz, axis=1, keepdims=True)
+            return (ax, ay, az)
+
+        zero = jnp.zeros((SLAB, 1), f32)
+        ax, ay, az = jax.lax.fori_loop(e0, e1, body, (zero, zero, zero))
+        out_ref[0:1, :] = jnp.transpose(ax)
+        out_ref[1:2, :] = jnp.transpose(ay)
+        out_ref[2:3, :] = jnp.transpose(az)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_max,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rc2 (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ptab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mtab (1, nslots)
+        ],
+        out_specs=pl.BlockSpec((3, SLAB), lambda i, *_: (0, i)),
+        scratch_shapes=[pltpu.VMEM((SLAB, 3), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, s_max * SLAB), f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=device_caps.caps().vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(
+        row_ptr.astype(i32),
+        wl_s.astype(i32),
+        jnp.asarray(bounds, i32),
+        rc2.astype(f32).reshape(1, 1),
+        ptab,
+        mtab.reshape(1, nslots),
+    )
+    # Re-append the zero sentinel slab (pslot dumps index it).
+    return jnp.concatenate(
+        [out, jnp.zeros((3, SLAB), f32)], axis=1)
 
 
 def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
@@ -763,8 +871,13 @@ def accelerations_between(
         ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
-        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
-        atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
+        wl_t, wl_s, n_e, row_ptr = _sr_ranges(slab_lo, slab_hi, nc, sub,
+                                              e_max)
+        if jax.default_backend() == "tpu":
+            atab = _sr_sweep_pallas(ptab, mtab, row_ptr, wl_s,
+                                    (0, e_max), rc2)
+        else:
+            atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
         tgt_slot = pslot if same_set else pslot[ns:]
         tgt_binned = binned_all if same_set else binned_all[ns:]
         a_sr = atab[:, tgt_slot]
@@ -939,18 +1052,26 @@ def sharded_accelerations(
         ])
     acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
     if cutoff_cells:
-        # Sweep 1/K of the worklist's entry chunks per shard, psum the
+        # Sweep ~1/K of the worklist's entries per shard, psum the
         # per-slot acceleration table once, then serve LOCAL targets
-        # from their slots (entries are work units, so splitting the
-        # chunk range load-balances regardless of clustering).
-        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
-        chunk = 512
+        # from their slots (entries are uniform work units, so the
+        # entry-range split load-balances regardless of clustering).
+        wl_t, wl_s, n_e, row_ptr = _sr_ranges(slab_lo, slab_hi, nc, sub,
+                                              e_max)
         k_sh = lax.axis_size(axis)
-        nch_total = -((-e_max) // chunk)
-        nch_l = -((-nch_total) // k_sh)
-        atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2, chunk=chunk,
-                         chunk_lo=lax.axis_index(axis) * nch_l,
-                         chunk_cap=nch_l)
+        k_id = lax.axis_index(axis)
+        if jax.default_backend() == "tpu":
+            per = -((-e_max) // k_sh)
+            atab = _sr_sweep_pallas(
+                ptab, mtab, row_ptr, wl_s,
+                (k_id * per, (k_id + 1) * per), rc2)
+        else:
+            chunk = 512
+            nch_total = -((-e_max) // chunk)
+            nch_l = -((-nch_total) // k_sh)
+            atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
+                             chunk=chunk, chunk_lo=k_id * nch_l,
+                             chunk_cap=nch_l)
         atab = psum(atab)
         a_sr = atab[:, lax.dynamic_slice(pslot, (i0,), (nl,))]
         a_comp = jax.lax.cond(
@@ -1087,7 +1208,7 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
     _, _, slab_lo, slab_hi, _, binned = _sr_pack(
         cid, pos, m_in, n_cells, int(cap), s_cap)
     # e_max=1: only the traced n_entries matters here.
-    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
+    _, _, n_e, _ = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
     n_bin = jnp.sum(binned.astype(jnp.int32))
     return n_bin // SLAB + 2, n_e
 

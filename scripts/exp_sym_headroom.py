@@ -51,6 +51,9 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
     jb2 = variant in ("jbatch2", "acc+jb2")
     accs = variant == "accs"  # scratch-resident deferred i-side
     jstack = variant == "jstack"  # single (8,B) j-side RMW
+    unroll = {"unroll2": 2, "unroll4": 4}.get(variant, 1)
+    rsqrt6 = variant == "rsqrt6"  # u = rsqrt(d2^3): squarings overlap
+    # the previous tile's rsqrt instead of serializing after it
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -71,8 +74,12 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
             dy = yj - yi
             dz = zj - zi
             d2 = dx * dx + dy * dy + dz * dz + eps2
-            inv = lax.rsqrt(d2)
-            w = (gmi * gmj) * (inv * inv * inv)
+            if rsqrt6:
+                u = lax.rsqrt(d2 * d2 * d2)
+            else:
+                inv = lax.rsqrt(d2)
+                u = inv * inv * inv
+            w = (gmi * gmj) * u
             return w * dx, w * dy, w * dz
 
         px, py, pz = pair_terms(i0, B)  # diagonal tile
@@ -152,6 +159,22 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
             accx, accy, accz = lax.cond(
                 (nblocks - it - 1) % 2 == 1, tail, lambda a: a, acc
             )
+        elif unroll > 1:
+            # Manual unroll (fori_loop's unroll= needs static bounds):
+            # `unroll` independent (B,B) tiles per iteration so their
+            # rsqrts overlap, plus a remainder loop.
+            nfull = (nblocks - it - 1) // unroll
+
+            def jt_u(k, acc):
+                j0 = (it + 1 + unroll * k) * B
+                for u in range(unroll):
+                    acc = jt_one(j0 + u * B, acc)
+                return acc
+
+            acc = lax.fori_loop(0, nfull, jt_u, (accx, accy, accz))
+            accx, accy, accz = lax.fori_loop(
+                it + 1 + unroll * nfull, nblocks,
+                lambda jt, a: jt_one(jt * B, a), acc)
         else:
             accx, accy, accz = lax.fori_loop(
                 it + 1, nblocks,

@@ -187,6 +187,75 @@ def test_p3m_overflow_momentum_symmetric():
     assert np.all(flux < 1e-4 * scale), (flux / scale)
 
 
+def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11):
+    """Replicate accelerations_between's short-range packing (pm.py
+    same_set branch) so the two sweep implementations can be compared
+    in isolation."""
+    import jax.numpy as jnp
+
+    pos, _, mass = plummer(n, seed=seed)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    nc, sub = pm._cell_grid_params(ng, cutoff)
+    n_cells = nc * nc * nc
+    lo_box, hi_box = pm._robust_box(pos, mass)
+    span = hi_box - lo_box
+    inc = (mass * pm._inside(pos, lo_box, hi_box)) > 0
+    cap = pm.suggest_capacity(pos, mass, ng, cutoff)
+    s_max, e_max = pm._default_sr_plan(n, n_cells, sub,
+                                       -((-cap) // pm.SLAB))
+    rc = jnp.float32(sub) * jnp.min(span[:, 0]) / jnp.float32(nc)
+    co = pm._cell_coords(pos, lo_box, jnp.float32(nc) / span, nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    cid = jnp.where(inc, cid, n_cells)
+    ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
+        cid, pos, mass, n_cells, cap, s_max)
+    wl_t, wl_s, n_e, row_ptr = pm._sr_ranges(slab_lo, slab_hi, nc, sub,
+                                             e_max)
+    return ptab, mtab, wl_t, wl_s, n_e, row_ptr, e_max, rc * rc
+
+
+def test_sr_sweep_pallas_matches_xla():
+    """The Pallas short-range sweep (VMEM-resident tables, CSR per-target
+    entry runs) must agree with the XLA-composed sweep to summation-order
+    tolerance — same worklist, same pair math."""
+    import numpy as np
+
+    (ptab, mtab, wl_t, wl_s, n_e, row_ptr, e_max,
+     rc2) = _packed_sweep_inputs()
+    a_xla = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2))
+    a_pl = np.asarray(pm._sr_sweep_pallas(ptab, mtab, row_ptr, wl_s,
+                                          (0, e_max), rc2,
+                                          interpret=True))
+    assert a_pl.shape == a_xla.shape
+    scale = np.abs(a_xla).max()
+    np.testing.assert_allclose(a_pl, a_xla, rtol=0, atol=2e-5 * scale)
+
+
+def test_sr_sweep_pallas_bounds_split():
+    """The sharded path sweeps disjoint entry ranges per shard and psums
+    the slot tables: the per-range partial sweeps must sum to the full
+    sweep exactly (each entry lands in exactly one range)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    (ptab, mtab, _, wl_s, _, row_ptr, e_max,
+     rc2) = _packed_sweep_inputs(n=1024, ng=32, seed=12)
+    full = np.asarray(pm._sr_sweep_pallas(ptab, mtab, row_ptr, wl_s,
+                                          (0, e_max), rc2,
+                                          interpret=True))
+    k = 4
+    per = -((-e_max) // k)
+    parts = sum(
+        np.asarray(pm._sr_sweep_pallas(
+            ptab, mtab, row_ptr, wl_s,
+            jnp.asarray([i * per, (i + 1) * per], jnp.int32), rc2,
+            interpret=True))
+        for i in range(k))
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(parts, full, rtol=0, atol=2e-6 * scale)
+
+
 def test_suggest_capacity_data_driven():
     pos, _, mass = plummer(2048, seed=1)
     cap = pm.suggest_capacity(pos, mass, 128, 4)
