@@ -360,6 +360,17 @@ def _neighbor_offsets(sub: int):
 # the (SLAB x SLAB) dense pair blocks the VPU executes.
 SLAB = 64
 
+# Short-range sweep implementation: "auto" (Pallas on TPU, XLA-composed
+# elsewhere), "pallas", or "xla".  A module knob, not a per-call option:
+# the choice is a backend property; experiments/tests override it.
+SR_SWEEP_IMPL = "auto"
+
+
+def _use_pallas_sweep() -> bool:
+    if SR_SWEEP_IMPL == "auto":
+        return jax.default_backend() == "tpu"
+    return SR_SWEEP_IMPL == "pallas"
+
 
 def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     """Packed slab tables for the short-range sweep: ``SLAB`` CONSECUTIVE
@@ -873,9 +884,10 @@ def accelerations_between(
     if cutoff_cells:
         wl_t, wl_s, n_e, row_ptr = _sr_ranges(slab_lo, slab_hi, nc, sub,
                                               e_max)
-        if jax.default_backend() == "tpu":
-            atab = _sr_sweep_pallas(ptab, mtab, row_ptr, wl_s,
-                                    (0, e_max), rc2)
+        if _use_pallas_sweep():
+            atab = _sr_sweep_pallas(
+                ptab, mtab, row_ptr, wl_s, (0, e_max), rc2,
+                interpret=jax.default_backend() != "tpu")
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
         tgt_slot = pslot if same_set else pslot[ns:]
@@ -1060,11 +1072,12 @@ def sharded_accelerations(
                                               e_max)
         k_sh = lax.axis_size(axis)
         k_id = lax.axis_index(axis)
-        if jax.default_backend() == "tpu":
+        if _use_pallas_sweep():
             per = -((-e_max) // k_sh)
             atab = _sr_sweep_pallas(
                 ptab, mtab, row_ptr, wl_s,
-                (k_id * per, (k_id + 1) * per), rc2)
+                (k_id * per, (k_id + 1) * per), rc2,
+                interpret=jax.default_backend() != "tpu")
         else:
             chunk = 512
             nch_total = -((-e_max) // chunk)

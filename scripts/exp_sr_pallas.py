@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""A/B the P3M short-range sweep implementations on hardware.
+
+Measures, per (distribution, N):
+1. the ISOLATED sweep — XLA-composed `_sr_sweep` vs the Pallas
+   CSR-worklist kernel `_sr_sweep_pallas` (same packed tables, same
+   worklist), in-jit repeat loops + difference timing (tunnel fetches
+   cost ~38 ms flat, see docs/DESIGN.md methodology);
+2. the FULL p3m solve with each sweep (pm.SR_SWEEP_IMPL knob);
+3. a SLAB=128 probe: (64,64) pair blocks are lane-padded 64->128 on the
+   VPU (half the lanes idle); SLAB=128 fills them at the cost of 4x
+   coarser worklist entries (more beyond-cutoff zero-taper pairs).
+
+Run: python scripts/exp_sr_pallas.py [--quick] [--sizes N1,N2] [--skip-slab]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def _pack(pos, mass, ng, cutoff):
+    """Replicate accelerations_between's short-range packing (same_set
+    branch) so the sweeps can be timed in isolation."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops import pm
+
+    nc, sub = pm._cell_grid_params(ng, cutoff)
+    n_cells = nc * nc * nc
+    lo_box, hi_box = pm._robust_box(pos, mass)
+    span = hi_box - lo_box
+    inc = (mass * pm._inside(pos, lo_box, hi_box)) > 0
+    plan = pm.suggest_sr_plan(pos, mass, ng, cutoff)
+    cap, s_max, e_max = (plan["capacity"], plan["sr_slabs"],
+                         plan["sr_entries"])
+    rc = jnp.float32(sub) * jnp.min(span[:, 0]) / jnp.float32(nc)
+    co = pm._cell_coords(pos, lo_box, jnp.float32(nc) / span, nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    cid = jnp.where(inc, cid, n_cells)
+    ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
+        cid, pos, mass, n_cells, cap, s_max)
+    wl_t, wl_s, n_e, row_ptr = pm._sr_ranges(slab_lo, slab_hi, nc, sub,
+                                             e_max)
+    return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
+                row_ptr=row_ptr, e_max=e_max, rc2=rc * rc, plan=plan)
+
+
+def _time_loop(make_run, base_reps):
+    """min-of-3 difference timing of a jitted k-repeat loop."""
+    def t(k):
+        run = make_run(k)
+        float(run())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    L = max(1, base_reps)
+    return max(t(2 * L) - t(L), 1e-9) / L
+
+
+def _interp():
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def time_isolated(pk, impl, base_reps):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nbody_tpu.ops import pm
+
+    def make_run(k):
+        if impl == "pallas":
+            def one(p):
+                return pm._sr_sweep_pallas(p, pk["mtab"], pk["row_ptr"],
+                                           pk["wl_s"], (0, pk["e_max"]),
+                                           pk["rc2"], interpret=_interp())
+        else:
+            def one(p):
+                return pm._sr_sweep(p, pk["mtab"], pk["wl_t"], pk["wl_s"],
+                                    pk["n_e"], pk["rc2"])
+
+        @jax.jit
+        def run():
+            def body(i, carry):
+                atab = one(pk["ptab"] + carry * 0)  # keep the data dep
+                return atab[0, 0]
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    return _time_loop(make_run, base_reps)
+
+
+def time_full(pos, mass, ng, plan, impl, base_reps):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nbody_tpu.ops import pm
+
+    pm.SR_SWEEP_IMPL = impl
+    try:
+        def make_run(k):
+            @jax.jit
+            def run():
+                def body(i, carry):
+                    a = pm.accelerations(pos + carry * 0, mass, grid=ng,
+                                         cutoff_cells=pm.DEFAULT_CUTOFF_CELLS,
+                                         **plan)
+                    return a[0, 0]
+
+                return lax.fori_loop(0, k, body, jnp.float32(0))
+
+            return run
+
+        return _time_loop(make_run, base_reps)
+    finally:
+        pm.SR_SWEEP_IMPL = "auto"
+
+
+def sweep_correct(pk):
+    from nbody_tpu.ops import pm
+
+    a_x = np.asarray(pm._sr_sweep(pk["ptab"], pk["mtab"], pk["wl_t"],
+                                  pk["wl_s"], pk["n_e"], pk["rc2"]))
+    a_p = np.asarray(pm._sr_sweep_pallas(pk["ptab"], pk["mtab"],
+                                         pk["row_ptr"], pk["wl_s"],
+                                         (0, pk["e_max"]), pk["rc2"],
+                                         interpret=_interp()))
+    denom = max(float(np.abs(a_x).max()), 1e-30)
+    return float(np.abs(a_p - a_x).max()) / denom
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--sizes", default="")
+    p.add_argument("--ng", type=int, default=128)
+    p.add_argument("--skip-slab", action="store_true")
+    p.add_argument("--skip-full", action="store_true")
+    args = p.parse_args()
+    import jax
+
+    from nbody_tpu.init import make_state
+    from nbody_tpu.ops import pm
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {dev.device_kind}")
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    else:
+        sizes = [65536] if args.quick else [65536, 262144, 1048576]
+    cutoff = pm.DEFAULT_CUTOFF_CELLS
+
+    print(f"{'dist':>10} {'N':>8} {'what':>14} {'ms':>9}  note")
+    for dist in ("reference", "plummer"):
+        for n in sizes:
+            state = make_state(n, pad_multiple=1024, distribution=dist,
+                               seed=42 if dist == "reference" else 7)
+            pk = _pack(state.pos, state.mass, args.ng, cutoff)
+            err = sweep_correct(pk)
+            e_meas = int(pk["n_e"])
+            gp = e_meas * pm.SLAB * pm.SLAB  # pairs per sweep
+            reps = 2 if args.quick else 4
+            for impl in ("xla", "pallas"):
+                t = time_isolated(pk, impl, reps)
+                print(f"{dist:>10} {n:>8} {'sweep/'+impl:>14} "
+                      f"{t*1e3:>9.2f}  {gp/t/1e9:.1f} Gpairs/s"
+                      + (f", agree {err:.1e}" if impl == "pallas" else ""),
+                      flush=True)
+            if not args.skip_full:
+                for impl in ("xla", "pallas"):
+                    t = time_full(state.pos, state.mass, args.ng,
+                                  pk["plan"], impl, reps)
+                    print(f"{dist:>10} {n:>8} {'p3m/'+impl:>14} "
+                          f"{t*1e3:>9.2f}", flush=True)
+            if not args.skip_slab:
+                old = pm.SLAB
+                try:
+                    pm.SLAB = 128
+                    pk2 = _pack(state.pos, state.mass, args.ng, cutoff)
+                    gp2 = int(pk2["n_e"]) * pm.SLAB * pm.SLAB
+                    t = time_isolated(pk2, "pallas", reps)
+                    print(f"{dist:>10} {n:>8} {'sweep/pl-128':>14} "
+                          f"{t*1e3:>9.2f}  {gp2/t/1e9:.1f} Gpairs/s "
+                          f"(entries {int(pk2['n_e'])} vs {e_meas})",
+                          flush=True)
+                finally:
+                    pm.SLAB = old
+
+
+if __name__ == "__main__":
+    main()

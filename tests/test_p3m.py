@@ -256,6 +256,26 @@ def test_sr_sweep_pallas_bounds_split():
     np.testing.assert_allclose(parts, full, rtol=0, atol=2e-6 * scale)
 
 
+def test_sr_sweep_impl_knob_end_to_end():
+    """pm.SR_SWEEP_IMPL='pallas' routes the FULL p3m solve through the
+    Pallas sweep (interpret mode off-TPU) and must agree with the XLA
+    sweep to summation-order tolerance."""
+    import numpy as np
+
+    pos, _, mass = plummer(1024, seed=13)
+    kw = dict(grid=32, cutoff_cells=4,
+              capacity=pm.suggest_capacity(pos, mass, 32, 4))
+    a_x = np.asarray(pm.accelerations(pos, mass, **kw))
+    assert pm.SR_SWEEP_IMPL == "auto"
+    pm.SR_SWEEP_IMPL = "pallas"
+    try:
+        a_p = np.asarray(pm.accelerations(pos, mass, **kw))
+    finally:
+        pm.SR_SWEEP_IMPL = "auto"
+    scale = np.abs(a_x).max()
+    np.testing.assert_allclose(a_p, a_x, rtol=0, atol=2e-5 * scale)
+
+
 def test_suggest_capacity_data_driven():
     pos, _, mass = plummer(2048, seed=1)
     cap = pm.suggest_capacity(pos, mass, 128, 4)
