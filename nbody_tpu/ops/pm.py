@@ -459,12 +459,12 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
     count, or the guaranteed (dedup <= one disjoint interval set per
     target => <= s_max entries per target) bound s_max^2.
 
-    Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries,
-    row_ptr (s_max+1,))`` with ``n_entries`` a traced scalar — the
-    sweep's loop bound, so the padded worklist tail costs nothing at
-    runtime — and ``row_ptr`` the CSR bounds of each target slab's
-    (contiguous, t-major) entry run, the Pallas sweep's per-program
-    loop range."""
+    Returns ``(wl_t (e_max,), wl_s (e_max,), n_entries)`` with
+    ``n_entries`` a traced scalar — the sweeps' entry bound, so the
+    padded worklist tail costs (almost) nothing at runtime.  Entries
+    are laid out t-major, so each target slab's entries form one
+    contiguous run — the Pallas sweep's flush-on-target-change
+    accumulator depends on this."""
     i32 = jnp.int32
     s_max = slab_lo.shape[0]
     n_cells = nc * nc * nc
@@ -496,11 +496,7 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
     wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
     wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
                      s_max).astype(i32)
-    row_ptr = jnp.concatenate(
-        [jnp.zeros((1,), i32),
-         jnp.minimum(cum.reshape(s_max, n_rows)[:, -1],
-                     e_max).astype(i32)])
-    return wl_t, wl_s, n_e, row_ptr
+    return wl_t, wl_s, n_e
 
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
@@ -555,24 +551,36 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
     return atab.reshape(3, (s_max + 1) * SLAB)
 
 
-def _sr_sweep_pallas(ptab, mtab, row_ptr, wl_s, bounds, rc2,
-                     interpret: bool = False):
-    """The short-range sweep as a Pallas TPU kernel: grid over TARGET
-    slabs, each program owning its (3, SLAB) output block exclusively
-    (no read-modify-write races), looping its CSR entry run
-    [row_ptr[t], row_ptr[t+1]) clipped to ``bounds`` — the sharded
-    path's per-shard entry range (single-entry granularity, so the
-    split load-balances regardless of clustering).
+def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
+                     chunk: int = 1024, interpret: bool = False):
+    """The short-range sweep as a Pallas TPU kernel.
 
     The XLA-composed _sr_sweep materializes (chunk, SLAB, SLAB) gather
-    blocks through HBM each loop step; here the tables are
-    VMEM-resident (12.6 MB + 4.2 MB at N=1M), the worklist and row
-    pointers ride scalar prefetch (SMEM), and each entry is one dense
-    (SLAB, SLAB) VPU block: slice source slab rows (3, SLAB) straight
-    from the resident table, broadcast against the per-program
-    transposed target tile (SLAB, 3), lane-reduce per component.  Same
-    arithmetic and accumulation order as _sr_sweep's per-entry block,
-    so results agree to summation-order tolerance."""
+    blocks through HBM every loop step; here everything stays on-chip:
+
+    * tables ride VMEM as (s_max+1, SLAB) per-component rows — slab s
+      is row s, so the per-entry source read is a dynamic-SUBLANE
+      slice ``x_ref[pl.ds(s, 1), :]`` (dynamic LANE offsets are the
+      slow/unsupported case on the VPU);
+    * the worklist streams through SMEM in static ``chunk``-entry
+      blocks over a SEQUENTIAL grid (SMEM is KBs — a scalar-prefetch
+      of the full multi-MB worklist would not fit at production N);
+    * the traced entry count rides ``bounds``: chunks beyond it run
+      zero loop iterations, so the padded worklist tail costs only
+      grid overhead, and the sharded path passes its per-shard entry
+      range here (single-entry granularity load-balances regardless
+      of clustering);
+    * entries are t-major (one contiguous run per target slab), so the
+      kernel carries a (SLAB, SLAB) accumulator and flushes it —
+      three lane-reductions plus one RMW row add — only when the
+      target changes: reduction and target-relayout costs amortize
+      over the run (the pallas_sym deferred-accumulator pattern).
+
+    Accumulation order differs from _sr_sweep's (per-run blocks vs
+    per-512-entry scatter-adds), so results agree to summation-order
+    tolerance.  Output rows land t-major; sentinel-target garbage
+    (beyond-n_e entries never run; capacity-overflow slots are
+    where()'d out by the caller) is zeroed for parity with _sr_sweep."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -581,79 +589,115 @@ def _sr_sweep_pallas(ptab, mtab, row_ptr, wl_s, bounds, rc2,
     f32 = jnp.float32
     i32 = jnp.int32
     nslots = ptab.shape[1]
-    s_max = nslots // SLAB - 1
+    n_slabs = nslots // SLAB  # s_max real slabs + 1 sentinel
+    e_max = wl_t.shape[0]
+    pad = (-e_max) % chunk
+    if pad:
+        ext = jnp.full((pad,), n_slabs - 1, wl_t.dtype)
+        wl_t = jnp.concatenate([wl_t, ext])
+        wl_s = jnp.concatenate([wl_s, ext])
+    n_chunks = (e_max + pad) // chunk
+    tabs = ptab.reshape(3, n_slabs, SLAB)
 
-    def kern(row_ptr_ref, wl_s_ref, bounds_ref, rc2_ref, ptab_ref,
-             mtab_ref, out_ref, ttile_s):
+    def kern(wlt_ref, wls_ref, b_ref, rc2_ref, x_ref, y_ref, z_ref,
+             m_ref, ox_ref, oy_ref, oz_ref):
         # Python-float epsilon: a jnp scalar built OUTSIDE the kernel
         # trace would be a captured const, which pallas_call rejects.
         eps2 = float(SOFTENING_SQUARED)
-        t = pl.program_id(0)
-        e0 = jnp.maximum(row_ptr_ref[t], bounds_ref[0])
-        e1 = jnp.minimum(row_ptr_ref[t + 1], bounds_ref[1])
-        rc2v = rc2_ref[0, 0]
-        # One (3,SLAB)->(SLAB,3) relayout per target slab, amortized
-        # over its whole entry run (the pallas_sym i-tile pattern).
-        ttile_s[...] = jnp.transpose(ptab_ref[:, pl.ds(t * SLAB, SLAB)])
-        xt = ttile_s[:, 0:1]  # (SLAB, 1)
-        yt = ttile_s[:, 1:2]
-        zt = ttile_s[:, 2:3]
+        i = pl.program_id(0)
 
-        def body(e, acc):
-            ax, ay, az = acc
-            s = wl_s_ref[e]
-            j0 = s * SLAB
-            xs = ptab_ref[0:1, pl.ds(j0, SLAB)]  # (1, SLAB)
-            ys = ptab_ref[1:2, pl.ds(j0, SLAB)]
-            zs = ptab_ref[2:3, pl.ds(j0, SLAB)]
-            ms = mtab_ref[0:1, pl.ds(j0, SLAB)]
-            dx = xs - xt  # (SLAB, SLAB): target sublane, source lane
-            dy = ys - yt
-            dz = zs - zt
+        @pl.when(i == 0)
+        def _init():
+            ox_ref[...] = jnp.zeros_like(ox_ref)
+            oy_ref[...] = jnp.zeros_like(oy_ref)
+            oz_ref[...] = jnp.zeros_like(oz_ref)
+
+        base = i * chunk
+        e0 = jnp.clip(b_ref[0] - base, 0, chunk)
+        e1 = jnp.clip(b_ref[1] - base, 0, chunk)
+        rc2v = rc2_ref[0, 0]
+        zero = jnp.zeros((SLAB, SLAB), f32)
+
+        def flush(t, ax, ay, az):
+            ts = pl.ds(t, 1)
+            ox_ref[ts, :] += jnp.transpose(
+                jnp.sum(ax, axis=1, keepdims=True))
+            oy_ref[ts, :] += jnp.transpose(
+                jnp.sum(ay, axis=1, keepdims=True))
+            oz_ref[ts, :] += jnp.transpose(
+                jnp.sum(az, axis=1, keepdims=True))
+
+        def tgt_cols(t):
+            ts = pl.ds(t, 1)
+            return (jnp.transpose(x_ref[ts, :]),  # (SLAB, 1)
+                    jnp.transpose(y_ref[ts, :]),
+                    jnp.transpose(z_ref[ts, :]))
+
+        def body(e, carry):
+            t_cur, xt, yt, zt, ax, ay, az = carry
+            t = wlt_ref[e]
+            s = wls_ref[e]
+            changed = t != t_cur
+
+            @pl.when(changed)
+            def _():
+                flush(t_cur, ax, ay, az)
+
+            xt, yt, zt = jax.lax.cond(
+                changed, lambda: tgt_cols(t), lambda: (xt, yt, zt))
+            ax, ay, az = jax.lax.cond(
+                changed, lambda: (zero, zero, zero),
+                lambda: (ax, ay, az))
+            ss = pl.ds(s, 1)
+            dx = x_ref[ss, :] - xt  # (SLAB, SLAB): tgt sub, src lane
+            dy = y_ref[ss, :] - yt
+            dz = z_ref[ss, :] - zt
             r2 = dx * dx + dy * dy + dz * dz
             u = jax.lax.rsqrt(r2 + eps2)
-            w = ms * (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
-            ax += jnp.sum(w * dx, axis=1, keepdims=True)
-            ay += jnp.sum(w * dy, axis=1, keepdims=True)
-            az += jnp.sum(w * dz, axis=1, keepdims=True)
-            return (ax, ay, az)
+            w = m_ref[ss, :] * (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
+            return (t, xt, yt, zt, ax + w * dx, ay + w * dy, az + w * dz)
 
-        zero = jnp.zeros((SLAB, 1), f32)
-        ax, ay, az = jax.lax.fori_loop(e0, e1, body, (zero, zero, zero))
-        out_ref[0:1, :] = jnp.transpose(ax)
-        out_ref[1:2, :] = jnp.transpose(ay)
-        out_ref[2:3, :] = jnp.transpose(az)
+        # Start each chunk on the sentinel row: the first real entry
+        # flushes the zero accumulator there (harmless), and runs that
+        # span chunk boundaries simply RMW their row twice.
+        init = (jnp.asarray(n_slabs - 1, i32), zero[:, :1], zero[:, :1],
+                zero[:, :1], zero, zero, zero)
+        t_c, _, _, _, ax, ay, az = jax.lax.fori_loop(e0, e1, body, init)
+        flush(t_c, ax, ay, az)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(s_max,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rc2 (1,1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ptab
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mtab (1, nslots)
-        ],
-        out_specs=pl.BlockSpec((3, SLAB), lambda i, *_: (0, i)),
-        scratch_shapes=[pltpu.VMEM((SLAB, 3), jnp.float32)],
-    )
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((n_slabs, SLAB), f32)
+    full = pl.BlockSpec((n_slabs, SLAB), lambda i: (0, 0))
+    outs = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3, s_max * SLAB), f32),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),  # wl_t
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),  # wl_s
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rc2 (1,1)
+            full, full, full, full,  # x/y/z/m tables
+        ],
+        out_specs=(full, full, full),
+        out_shape=(out_shape, out_shape, out_shape),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=device_caps.caps().vmem_limit_bytes,
         ),
         interpret=interpret,
     )(
-        row_ptr.astype(i32),
+        wl_t.astype(i32),
         wl_s.astype(i32),
         jnp.asarray(bounds, i32),
         rc2.astype(f32).reshape(1, 1),
-        ptab,
-        mtab.reshape(1, nslots),
+        tabs[0], tabs[1], tabs[2],
+        mtab.reshape(n_slabs, SLAB),
     )
-    # Re-append the zero sentinel slab (pslot dumps index it).
-    return jnp.concatenate(
-        [out, jnp.zeros((3, SLAB), f32)], axis=1)
+    atab = jnp.stack([o.reshape(nslots) for o in outs])
+    # Zero the sentinel slab for parity with _sr_sweep (overflow slots
+    # index it; the caller masks them, but keep the contract clean).
+    return atab.at[:, (n_slabs - 1) * SLAB:].set(f32(0))
 
 
 def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
@@ -882,11 +926,11 @@ def accelerations_between(
         ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
-        wl_t, wl_s, n_e, row_ptr = _sr_ranges(slab_lo, slab_hi, nc, sub,
-                                              e_max)
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
         if _use_pallas_sweep():
             atab = _sr_sweep_pallas(
-                ptab, mtab, row_ptr, wl_s, (0, e_max), rc2,
+                ptab, mtab, wl_t, wl_s,
+                (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
                 interpret=jax.default_backend() != "tpu")
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
@@ -1068,15 +1112,15 @@ def sharded_accelerations(
         # per-slot acceleration table once, then serve LOCAL targets
         # from their slots (entries are uniform work units, so the
         # entry-range split load-balances regardless of clustering).
-        wl_t, wl_s, n_e, row_ptr = _sr_ranges(slab_lo, slab_hi, nc, sub,
-                                              e_max)
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
         k_sh = lax.axis_size(axis)
         k_id = lax.axis_index(axis)
         if _use_pallas_sweep():
-            per = -((-e_max) // k_sh)
+            e_lim = jnp.minimum(n_e, e_max)
+            per = -((-e_lim) // k_sh)
             atab = _sr_sweep_pallas(
-                ptab, mtab, row_ptr, wl_s,
-                (k_id * per, (k_id + 1) * per), rc2,
+                ptab, mtab, wl_t, wl_s,
+                (k_id * per, jnp.minimum((k_id + 1) * per, e_lim)), rc2,
                 interpret=jax.default_backend() != "tpu")
         else:
             chunk = 512
@@ -1221,7 +1265,7 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
     _, _, slab_lo, slab_hi, _, binned = _sr_pack(
         cid, pos, m_in, n_cells, int(cap), s_cap)
     # e_max=1: only the traced n_entries matters here.
-    _, _, n_e, _ = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
+    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
     n_bin = jnp.sum(binned.astype(jnp.int32))
     return n_bin // SLAB + 2, n_e
 

@@ -46,10 +46,9 @@ def _pack(pos, mass, ng, cutoff):
     cid = jnp.where(inc, cid, n_cells)
     ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
         cid, pos, mass, n_cells, cap, s_max)
-    wl_t, wl_s, n_e, row_ptr = pm._sr_ranges(slab_lo, slab_hi, nc, sub,
-                                             e_max)
+    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
     return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
-                row_ptr=row_ptr, e_max=e_max, rc2=rc * rc, plan=plan)
+                e_lim=int(n_e), e_max=e_max, rc2=rc * rc, plan=plan)
 
 
 def _time_loop(make_run, base_reps):
@@ -84,8 +83,8 @@ def time_isolated(pk, impl, base_reps):
     def make_run(k):
         if impl == "pallas":
             def one(p):
-                return pm._sr_sweep_pallas(p, pk["mtab"], pk["row_ptr"],
-                                           pk["wl_s"], (0, pk["e_max"]),
+                return pm._sr_sweep_pallas(p, pk["mtab"], pk["wl_t"],
+                                           pk["wl_s"], (0, pk["e_lim"]),
                                            pk["rc2"], interpret=_interp())
         else:
             def one(p):
@@ -138,8 +137,8 @@ def sweep_correct(pk):
     a_x = np.asarray(pm._sr_sweep(pk["ptab"], pk["mtab"], pk["wl_t"],
                                   pk["wl_s"], pk["n_e"], pk["rc2"]))
     a_p = np.asarray(pm._sr_sweep_pallas(pk["ptab"], pk["mtab"],
-                                         pk["row_ptr"], pk["wl_s"],
-                                         (0, pk["e_max"]), pk["rc2"],
+                                         pk["wl_t"], pk["wl_s"],
+                                         (0, pk["e_lim"]), pk["rc2"],
                                          interpret=_interp()))
     denom = max(float(np.abs(a_x).max()), 1e-30)
     return float(np.abs(a_p - a_x).max()) / denom
