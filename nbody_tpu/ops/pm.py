@@ -500,7 +500,8 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
 
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
-              chunk_lo=0, chunk_cap: int = 0):
+              chunk_lo=0, chunk_cap: int = 0,
+              static_bound: bool = False):
     """Execute the worklist as dense (SLAB x SLAB) pair blocks, ``chunk``
     entries per loop step, accumulating the short-range residual
 
@@ -530,7 +531,16 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
         wl_s = jnp.concatenate([wl_s, ext])
     ptab_r = ptab.reshape(3, s_max + 1, SLAB)
     mtab_r = mtab.reshape(s_max + 1, SLAB)
-    n_act = (jnp.minimum(n_entries, e_max) + (w - 1)) // w
+    if static_bound:
+        # Python-int loop bound: reverse-mode AD cannot cross a
+        # traced-length fori_loop (it lowers to a while), but a static
+        # bound lowers to scan.  The padded tail (sentinel entries,
+        # zero-mass slab) contributes exactly zero to values AND
+        # cotangents — its table slots are where()'d constants, not
+        # views of real particles — so only forward-pass time is spent.
+        n_act = (e_max + pad) // w
+    else:
+        n_act = (jnp.minimum(n_entries, e_max) + (w - 1)) // w
     hi = n_act if not chunk_cap else jnp.minimum(n_act,
                                                  chunk_lo + chunk_cap)
 
@@ -734,6 +744,7 @@ def accelerations_between(
     capacity: int = 0,
     sr_slabs: int = 0,
     sr_entries: int = 0,
+    differentiable: bool = False,
     **_opts,
 ) -> jax.Array:
     """Mesh-solved accelerations of targets due to sources.
@@ -927,13 +938,14 @@ def accelerations_between(
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
-        if _use_pallas_sweep():
+        if _use_pallas_sweep() and not differentiable:
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
                 interpret=jax.default_backend() != "tpu")
         else:
-            atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2)
+            atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
+                             static_bound=differentiable)
         tgt_slot = pslot if same_set else pslot[ns:]
         tgt_binned = binned_all if same_set else binned_all[ns:]
         a_sr = atab[:, tgt_slot]
@@ -1146,13 +1158,19 @@ def sharded_accelerations(
 def accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
     cutoff_cells: int = 0, capacity: int = 0, sr_slabs: int = 0,
-    sr_entries: int = 0, **_opts
+    sr_entries: int = 0, differentiable: bool = False, **_opts
 ) -> jax.Array:
-    """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N)."""
+    """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N).
+
+    ``differentiable=True`` makes the P3M short-range pass reverse-mode
+    differentiable (static-bound sweep loop, XLA sweep) at the cost of
+    also sweeping the padded worklist tail; cutoff_cells=0 (plain pm)
+    is natively differentiable either way."""
     return accelerations_between(pos, pos, mass, grid=grid,
                                  cutoff_cells=cutoff_cells,
                                  capacity=capacity, sr_slabs=sr_slabs,
-                                 sr_entries=sr_entries)
+                                 sr_entries=sr_entries,
+                                 differentiable=differentiable)
 
 
 def p3m_accelerations(
