@@ -39,6 +39,29 @@ err = float(pm.force_error_vs_exact(state.pos, state.mass, 128))
 assert err < 5e-3, f"pm force error regression: {err}"
 print(f"   pm force error ok ({err:.2e} rel L2 at ng=128)")
 PY
+# P3M tier: clustered-IC accuracy (the round-3 headline claim) plus
+# compiled Pallas-sweep/XLA-sweep agreement on the real chip.
+echo "== p3m short-range tier (Plummer accuracy + Pallas sweep parity)"
+python - <<'PY'
+import numpy as np
+from nbody_tpu.models.distributions import plummer
+from nbody_tpu.ops import pm
+pos, _, mass = plummer(8192, seed=1)
+plan = pm.suggest_sr_plan(pos, mass, 128, 4)
+err = float(pm.force_error_vs_exact(pos, mass, 128, 4, plan["capacity"]))
+assert err < 8e-3, f"p3m clustered force error regression: {err}"
+print(f"   p3m Plummer force error ok ({err:.2e} rel L2 at ng=128)")
+kw = dict(grid=64, cutoff_cells=4, capacity=plan["capacity"])
+a_p = np.asarray(pm.accelerations(pos, mass, **kw))  # auto = Pallas on TPU
+pm.SR_SWEEP_IMPL = "xla"
+try:
+    a_x = np.asarray(pm.accelerations(pos, mass, **kw))
+finally:
+    pm.SR_SWEEP_IMPL = "auto"
+d = float(np.abs(a_p - a_x).max() / np.abs(a_x).max())
+assert d < 5e-5, f"pallas/xla sweep disagreement: {d}"
+print(f"   p3m pallas sweep agrees with xla ({d:.1e})")
+PY
 bench_json="$(python bench.py 2>/dev/null | tail -1)"
 echo "$bench_json"
 python - "$bench_json" <<'PY'
