@@ -29,6 +29,12 @@ sharded, _ = shard_state(state, 8, mesh=mesh)
 blk = make_sharded_block_fn("naive", {}, 0.1, 5, mesh, comm="ring")
 out, ke = blk(sharded)
 print("KE_RESULT", float(ke))
+# Distributed mesh solve across the SAME 2-process mesh: the grid psum
+# (pm.sharded_accelerations) crosses the process boundary over DCN.
+blk_pm = make_sharded_block_fn("pm", dict(grid=16), 0.1, 5, mesh,
+                               comm="allgather")
+out_pm, ke_pm = blk_pm(sharded)
+print("KE_PM_RESULT", float(ke_pm))
 """
 
 
@@ -54,16 +60,19 @@ def test_two_process_ring_matches_single_device(tmp_path):
         )
         for pid in (0, 1)
     ]
-    kes = []
+    kes, kes_pm = [], []
     for p in procs:
         out, _ = p.communicate(timeout=240)
         assert p.returncode == 0, out
         for line in out.splitlines():
             if line.startswith("KE_RESULT"):
                 kes.append(float(line.split()[1]))
+            elif line.startswith("KE_PM_RESULT"):
+                kes_pm.append(float(line.split()[1]))
     assert len(kes) == 2 and kes[0] == kes[1]
+    assert len(kes_pm) == 2 and kes_pm[0] == kes_pm[1]
 
-    # single-device reference value (in this process)
+    # single-device reference values (in this process)
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import make_accel_fn
     from nbody_tpu.models.integrators import make_block_fn
@@ -72,6 +81,9 @@ def test_two_process_ring_matches_single_device(tmp_path):
     blk = make_block_fn(make_accel_fn("naive"), 0.1, 5)
     _, ke_ref = blk(state)
     assert kes[0] == pytest.approx(float(ke_ref), rel=1e-5)
+    blk_pm = make_block_fn(make_accel_fn("pm", grid=16), 0.1, 5)
+    _, ke_pm_ref = blk_pm(state)
+    assert kes_pm[0] == pytest.approx(float(ke_pm_ref), rel=1e-5)
 
 
 @pytest.mark.slow
