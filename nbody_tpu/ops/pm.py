@@ -366,10 +366,26 @@ SLAB = 64
 SR_SWEEP_IMPL = "auto"
 
 
-def _use_pallas_sweep() -> bool:
-    if SR_SWEEP_IMPL == "auto":
-        return jax.default_backend() == "tpu"
-    return SR_SWEEP_IMPL == "pallas"
+def _use_pallas_sweep(n_slabs: int = 0) -> bool:
+    """Dispatch: Pallas sweep on TPU when its VMEM-resident tables fit.
+
+    The seven (n_slabs, SLAB) tables (x/y/z/m in, 3 accumulators out)
+    are lane-padded SLAB=64 -> 128 on the VPU, so each costs
+    n_slabs*128*4 bytes; past ~70% of the device VMEM budget (N ~ 2M
+    slots on a 128 MB v5e) fall back to the HBM-streaming XLA sweep
+    rather than OOM.  A forced SR_SWEEP_IMPL ("pallas"/"xla") is
+    absolute — experiments own the consequences."""
+    if SR_SWEEP_IMPL != "auto":
+        return SR_SWEEP_IMPL == "pallas"
+    if jax.default_backend() != "tpu":
+        return False
+    if n_slabs:
+        from ..utils import device_caps
+
+        need = 7 * n_slabs * 128 * 4
+        if need > 0.7 * device_caps.caps().vmem_limit_bytes:
+            return False
+    return True
 
 
 def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
@@ -938,7 +954,8 @@ def accelerations_between(
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
-        if _use_pallas_sweep() and not differentiable:
+        if (_use_pallas_sweep(ptab.shape[1] // SLAB)
+                and not differentiable):
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
@@ -1127,7 +1144,7 @@ def sharded_accelerations(
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
         k_sh = lax.axis_size(axis)
         k_id = lax.axis_index(axis)
-        if _use_pallas_sweep():
+        if _use_pallas_sweep(ptab.shape[1] // SLAB):
             e_lim = jnp.minimum(n_e, e_max)
             per = -((-e_lim) // k_sh)
             atab = _sr_sweep_pallas(

@@ -369,6 +369,28 @@ def test_p3m_differentiable_grad():
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 
+def test_sr_sweep_dispatch_vmem_gate(monkeypatch):
+    """auto-dispatch: Pallas on TPU only while the seven lane-padded
+    (n_slabs, 128) tables fit the VMEM budget; forced modes are
+    absolute."""
+    import jax
+
+    from nbody_tpu.utils import device_caps
+
+    assert pm._use_pallas_sweep(100) is False  # cpu backend
+    monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "pallas")
+    assert pm._use_pallas_sweep(10**9) is True  # forced wins
+    monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "xla")
+    assert pm._use_pallas_sweep(1) is False
+    monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    limit = device_caps.caps().vmem_limit_bytes
+    fits = int(0.7 * limit) // (7 * 128 * 4)
+    assert pm._use_pallas_sweep(fits - 1) is True
+    assert pm._use_pallas_sweep(fits + 1) is False
+    assert pm._use_pallas_sweep() is True  # unknown size: optimistic
+
+
 def test_suggest_capacity_data_driven():
     pos, _, mass = plummer(2048, seed=1)
     cap = pm.suggest_capacity(pos, mass, 128, 4)
