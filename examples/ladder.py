@@ -33,6 +33,10 @@ def main() -> int:
         ("pallas pair-symmetric", "pallas_sym", {}),
         ("pallas bf16-dist", "pallas", {"dist_dtype": "bfloat16"}),
         ("pallas mxu experiment", "pallas_mxu", {}),
+        # Beyond the exact ladder: the O(N log N) mesh tiers (rates are
+        # not pair-rate-comparable — the FLOP model is the exact one).
+        ("particle-mesh O(N log N)", "pm", {}),
+        ("p3m mesh + exact short-range", "p3m", {}),
     ]
     fused_eligible = n <= 4096
 
