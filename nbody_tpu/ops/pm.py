@@ -365,6 +365,12 @@ SLAB = 64
 # the choice is a backend property; experiments/tests override it.
 SR_SWEEP_IMPL = "auto"
 
+# Pair-symmetric short-range sweep: each unordered slab pair once
+# (s >= t), reaction added per entry.  ~47% of the entries for ~25%
+# extra per-entry work.  Off until the Pallas path has a hardware
+# measurement; flip after scripts/exp_sr_pallas.py --symmetric wins.
+SR_SYMMETRIC = False
+
 
 def _use_pallas_sweep(n_slabs: int = 0) -> bool:
     """Dispatch: Pallas sweep on TPU when its VMEM-resident tables fit.
@@ -452,9 +458,18 @@ def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     return ptab, mtab, slab_lo, slab_hi, pslot, binned
 
 
-def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
+def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
+               symmetric: bool = False):
     """Static-shape worklist of (target-slab, source-slab) dense pair
     blocks from PACKED slab cid bounds.
+
+    ``symmetric=True`` keeps only entries with s >= t (each unordered
+    slab pair once, plus the diagonal): every within-cutoff pair is
+    emitted in BOTH directions by the window construction — window(t)
+    covers reach(t), reach is symmetric, and the running-max dedup only
+    re-windows same-t overlaps — so clipping each interval at t drops
+    exactly the mirror copies (and some zero-weight padding).  The
+    symmetric sweeps add the reaction term per entry.
 
     For target slab t covering cells [lo_t, hi_t] and each of the
     (2*sub+1)^2 (ox, oy) stencil rows, the candidate sources are the
@@ -499,6 +514,8 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
         [jnp.zeros((s_max, 1), i32),
          jax.lax.cummax(s1, axis=1)[:, :-1]], axis=1)
     s0 = jnp.maximum(s0, run)
+    if symmetric:
+        s0 = jnp.maximum(s0, jnp.arange(s_max, dtype=i32)[:, None])
     s1 = jnp.maximum(s1, s0)
     cnt = jnp.where(has[:, None], s1 - s0, 0)  # (S, R)
     flat = cnt.reshape(-1)
@@ -517,7 +534,7 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int):
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
               chunk_lo=0, chunk_cap: int = 0,
-              static_bound: bool = False):
+              static_bound: bool = False, symmetric: bool = False):
     """Execute the worklist as dense (SLAB x SLAB) pair blocks, ``chunk``
     entries per loop step, accumulating the short-range residual
 
@@ -570,7 +587,20 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
         r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
         u = jax.lax.rsqrt(r2 + eps2)
         wgt = ms[:, None, :] * (f32(1.0) - _taper(r2 / rc2)) * (u * u * u)
-        return atab.at[:, te].add(jnp.sum(wgt[None] * d, axis=3))
+        wd = wgt[None] * d
+        atab = atab.at[:, te].add(jnp.sum(wd, axis=3))
+        if symmetric:
+            # Reaction on the SOURCE slab, weighted by the TARGET
+            # masses (wgt carries the source mass; the reaction needs
+            # m_t): recompute with m_t, negate, skip diagonal entries
+            # (a (t,t) block already holds both directions).
+            mt = mtab_r[te]
+            wr = mt[:, :, None] * (f32(1.0) - _taper(r2 / rc2)) * (
+                u * u * u)
+            off = (se != te).astype(f32)[None, :, None]
+            atab = atab.at[:, se].add(
+                -jnp.sum(wr[None] * d, axis=2) * off)
+        return atab
 
     atab = jnp.zeros((3, s_max + 1, SLAB), f32)
     atab = jax.lax.fori_loop(chunk_lo, hi, body, atab)
@@ -578,7 +608,8 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
 
 
 def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
-                     chunk: int = 1024, interpret: bool = False):
+                     chunk: int = 1024, interpret: bool = False,
+                     symmetric: bool = False):
     """The short-range sweep as a Pallas TPU kernel.
 
     The XLA-composed _sr_sweep materializes (chunk, SLAB, SLAB) gather
@@ -655,12 +686,15 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
 
         def tgt_cols(t):
             ts = pl.ds(t, 1)
-            return (jnp.transpose(x_ref[ts, :]),  # (SLAB, 1)
+            cols = (jnp.transpose(x_ref[ts, :]),  # (SLAB, 1)
                     jnp.transpose(y_ref[ts, :]),
                     jnp.transpose(z_ref[ts, :]))
+            if symmetric:
+                cols += (jnp.transpose(m_ref[ts, :]),)
+            return cols
 
         def body(e, carry):
-            t_cur, xt, yt, zt, ax, ay, az = carry
+            t_cur, cols, ax, ay, az = carry
             t = wlt_ref[e]
             s = wls_ref[e]
             changed = t != t_cur
@@ -669,26 +703,43 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             def _():
                 flush(t_cur, ax, ay, az)
 
-            xt, yt, zt = jax.lax.cond(
-                changed, lambda: tgt_cols(t), lambda: (xt, yt, zt))
+            cols = jax.lax.cond(
+                changed, lambda: tgt_cols(t), lambda: cols)
             ax, ay, az = jax.lax.cond(
                 changed, lambda: (zero, zero, zero),
                 lambda: (ax, ay, az))
+            xt, yt, zt = cols[0], cols[1], cols[2]
             ss = pl.ds(s, 1)
             dx = x_ref[ss, :] - xt  # (SLAB, SLAB): tgt sub, src lane
             dy = y_ref[ss, :] - yt
             dz = z_ref[ss, :] - zt
             r2 = dx * dx + dy * dy + dz * dz
             u = jax.lax.rsqrt(r2 + eps2)
-            w = m_ref[ss, :] * (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
-            return (t, xt, yt, zt, ax + w * dx, ay + w * dy, az + w * dz)
+            w0 = (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
+            bx, by, bz = w0 * dx, w0 * dy, w0 * dz
+            ms = m_ref[ss, :]
+            if symmetric:
+                # Reaction on the source slab: -sum_t m_t * b (sublane
+                # reduce, row RMW); diagonal blocks hold both
+                # directions already.
+                mt = cols[3]
+
+                @pl.when(s != t)
+                def _react():
+                    ox_ref[ss, :] -= jnp.sum(mt * bx, axis=0,
+                                             keepdims=True)
+                    oy_ref[ss, :] -= jnp.sum(mt * by, axis=0,
+                                             keepdims=True)
+                    oz_ref[ss, :] -= jnp.sum(mt * bz, axis=0,
+                                             keepdims=True)
+            return (t, cols, ax + ms * bx, ay + ms * by, az + ms * bz)
 
         # Start each chunk on the sentinel row: the first real entry
         # flushes the zero accumulator there (harmless), and runs that
         # span chunk boundaries simply RMW their row twice.
-        init = (jnp.asarray(n_slabs - 1, i32), zero[:, :1], zero[:, :1],
-                zero[:, :1], zero, zero, zero)
-        t_c, _, _, _, ax, ay, az = jax.lax.fori_loop(e0, e1, body, init)
+        col0 = (zero[:, :1],) * (4 if symmetric else 3)
+        init = (jnp.asarray(n_slabs - 1, i32), col0, zero, zero, zero)
+        t_c, _, ax, ay, az = jax.lax.fori_loop(e0, e1, body, init)
         flush(t_c, ax, ay, az)
 
     out_shape = jax.ShapeDtypeStruct((n_slabs, SLAB), f32)
@@ -953,16 +1004,18 @@ def accelerations_between(
         ])
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
-        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
+        sym = SR_SYMMETRIC
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
+                                     symmetric=sym)
         if (_use_pallas_sweep(ptab.shape[1] // SLAB)
                 and not differentiable):
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu", symmetric=sym)
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
-                             static_bound=differentiable)
+                             static_bound=differentiable, symmetric=sym)
         tgt_slot = pslot if same_set else pslot[ns:]
         tgt_binned = binned_all if same_set else binned_all[ns:]
         a_sr = atab[:, tgt_slot]
@@ -1141,7 +1194,9 @@ def sharded_accelerations(
         # per-slot acceleration table once, then serve LOCAL targets
         # from their slots (entries are uniform work units, so the
         # entry-range split load-balances regardless of clustering).
-        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
+        sym = SR_SYMMETRIC
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
+                                     symmetric=sym)
         k_sh = lax.axis_size(axis)
         k_id = lax.axis_index(axis)
         if _use_pallas_sweep(ptab.shape[1] // SLAB):
@@ -1150,14 +1205,14 @@ def sharded_accelerations(
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (k_id * per, jnp.minimum((k_id + 1) * per, e_lim)), rc2,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu", symmetric=sym)
         else:
             chunk = 512
             nch_total = -((-e_max) // chunk)
             nch_l = -((-nch_total) // k_sh)
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
                              chunk=chunk, chunk_lo=k_id * nch_l,
-                             chunk_cap=nch_l)
+                             chunk_cap=nch_l, symmetric=sym)
         atab = psum(atab)
         a_sr = atab[:, lax.dynamic_slice(pslot, (i0,), (nl,))]
         a_comp = jax.lax.cond(
@@ -1277,13 +1332,15 @@ def suggest_capacity(
     return cap
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
+                    symmetric: bool = False):
     """Measured (S, E) for the short-range plan: packed slab count and
     the exact worklist entry count _sr_ranges will produce for this
     state (the tables are built at the static ceil(Ns/SLAB)+1 bound
     just for counting; the entry count is independent of tail
-    padding)."""
+    padding).  ``symmetric`` is an explicit static arg (NOT a read of
+    the SR_SYMMETRIC knob: jit would bake the trace-time value)."""
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
@@ -1300,7 +1357,8 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int):
     _, _, slab_lo, slab_hi, _, binned = _sr_pack(
         cid, pos, m_in, n_cells, int(cap), s_cap)
     # e_max=1: only the traced n_entries matters here.
-    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1)
+    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1,
+                           symmetric=symmetric)
     n_bin = jnp.sum(binned.astype(jnp.int32))
     return n_bin // SLAB + 2, n_e
 
@@ -1322,7 +1380,8 @@ def suggest_sr_plan(
     sub-block).  Returns kwargs for the p3m entries:
     ``{"capacity", "sr_slabs", "sr_entries"}``."""
     cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells)
-    s, e = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells), cap)
+    s, e = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells), cap,
+                           SR_SYMMETRIC)
 
     def pow2_at_least(x):
         v = 64

@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def _pack(pos, mass, ng, cutoff):
+def _pack(pos, mass, ng, cutoff, symmetric=False):
     """Replicate accelerations_between's short-range packing (same_set
     branch) so the sweeps can be timed in isolation."""
     import jax.numpy as jnp
@@ -46,7 +46,8 @@ def _pack(pos, mass, ng, cutoff):
     cid = jnp.where(inc, cid, n_cells)
     ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
         cid, pos, mass, n_cells, cap, s_max)
-    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
+    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
+                                    symmetric=symmetric)
     return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
                 e_lim=int(n_e), e_max=e_max, rc2=rc * rc, plan=plan)
 
@@ -73,7 +74,7 @@ def _interp():
     return jax.default_backend() != "tpu"
 
 
-def time_isolated(pk, impl, base_reps):
+def time_isolated(pk, impl, base_reps, symmetric=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -85,7 +86,8 @@ def time_isolated(pk, impl, base_reps):
             def one(p):
                 return pm._sr_sweep_pallas(p, pk["mtab"], pk["wl_t"],
                                            pk["wl_s"], (0, pk["e_lim"]),
-                                           pk["rc2"], interpret=_interp())
+                                           pk["rc2"], interpret=_interp(),
+                                           symmetric=symmetric)
         else:
             def one(p):
                 return pm._sr_sweep(p, pk["mtab"], pk["wl_t"], pk["wl_s"],
@@ -187,6 +189,14 @@ def main():
                                   pk["plan"], impl, reps)
                     print(f"{dist:>10} {n:>8} {'p3m/'+impl:>14} "
                           f"{t*1e3:>9.2f}", flush=True)
+            # Pair-symmetric worklist (s >= t) + per-entry reaction.
+            pks = _pack(state.pos, state.mass, args.ng, cutoff,
+                        symmetric=True)
+            t = time_isolated(pks, "pallas", reps, symmetric=True)
+            gps = int(pks["n_e"]) * pm.SLAB * pm.SLAB
+            print(f"{dist:>10} {n:>8} {'sweep/pl-sym':>14} "
+                  f"{t*1e3:>9.2f}  {gps/t/1e9:.1f} Gpairs/s "
+                  f"(entries {int(pks['n_e'])} vs {e_meas})", flush=True)
             if not args.skip_slab:
                 old = pm.SLAB
                 try:

@@ -51,11 +51,16 @@ plan = pm.suggest_sr_plan(pos, mass, 128, 4)
 err = float(pm.force_error_vs_exact(pos, mass, 128, 4, plan["capacity"]))
 assert err < 8e-3, f"p3m clustered force error regression: {err}"
 print(f"   p3m Plummer force error ok ({err:.2e} rel L2 at ng=128)")
+import jax
 kw = dict(grid=64, cutoff_cells=4, capacity=plan["capacity"])
-a_p = np.asarray(pm.accelerations(pos, mass, **kw))  # auto = Pallas on TPU
+# Fresh jit per impl: eager dispatch is minutes-slow over the tunnel,
+# and a shared jit cache would bake the first knob value.
+a_p = np.asarray(jax.jit(
+    lambda p, m: pm.accelerations(p, m, **kw))(pos, mass))
 pm.SR_SWEEP_IMPL = "xla"
 try:
-    a_x = np.asarray(pm.accelerations(pos, mass, **kw))
+    a_x = np.asarray(jax.jit(
+        lambda p, m: pm.accelerations(p, m, **kw))(pos, mass))
 finally:
     pm.SR_SWEEP_IMPL = "auto"
 d = float(np.abs(a_p - a_x).max() / np.abs(a_x).max())

@@ -187,7 +187,8 @@ def test_p3m_overflow_momentum_symmetric():
     assert np.all(flux < 1e-4 * scale), (flux / scale)
 
 
-def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11):
+def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11,
+                         symmetric=False):
     """Replicate accelerations_between's short-range packing (pm.py
     same_set branch) so the two sweep implementations can be compared
     in isolation."""
@@ -210,7 +211,8 @@ def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11):
     cid = jnp.where(inc, cid, n_cells)
     ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
         cid, pos, mass, n_cells, cap, s_max)
-    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max)
+    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
+                                    symmetric=symmetric)
     return ptab, mtab, wl_t, wl_s, n_e, e_max, rc * rc
 
 
@@ -367,6 +369,54 @@ def test_p3m_differentiable_grad():
 
     g = np.asarray(jax.jit(jax.grad(full_loss))(pos))
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+
+def test_sr_sweep_symmetric_matches_full():
+    """The pair-symmetric worklist (s >= t) + per-entry reaction must
+    reproduce the full both-directions sweep: same physics, half the
+    entries.  Checked for the XLA sweep, the Pallas sweep (interpret,
+    chunk-boundary-spanning runs), and entry counts."""
+    import numpy as np
+
+    full = _packed_sweep_inputs(seed=16)
+    sym = _packed_sweep_inputs(seed=16, symmetric=True)
+    ptab, mtab, wl_t, wl_s, n_e, e_max, rc2 = full
+    _, _, wt_s, ws_s, ne_s, _, _ = sym
+    assert int(ne_s) < int(n_e)  # genuinely fewer entries
+    a_full = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2))
+    a_sym = np.asarray(pm._sr_sweep(ptab, mtab, wt_s, ws_s, ne_s, rc2,
+                                    symmetric=True))
+    scale = np.abs(a_full).max()
+    np.testing.assert_allclose(a_sym, a_full, rtol=0, atol=2e-5 * scale)
+    a_sym_pl = np.asarray(pm._sr_sweep_pallas(
+        ptab, mtab, wt_s, ws_s, (0, e_max), rc2, chunk=128,
+        interpret=True, symmetric=True))
+    np.testing.assert_allclose(a_sym_pl, a_full, rtol=0,
+                               atol=2e-5 * scale)
+
+
+def test_sr_symmetric_knob_end_to_end():
+    """pm.SR_SYMMETRIC=True through the FULL p3m solve (plan suggestion
+    + packed sweep) must agree with the default to summation-order
+    tolerance and keep momentum closed."""
+    import numpy as np
+
+    pos, _, mass = plummer(2048, seed=17)
+    kw = dict(grid=64, cutoff_cells=4)
+    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    assert pm.SR_SYMMETRIC is False
+    pm.SR_SYMMETRIC = True
+    try:
+        plan_s = pm.suggest_sr_plan(pos, mass, 64, 4)
+        assert plan_s["sr_entries"] <= plan["sr_entries"]
+        a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan_s))
+    finally:
+        pm.SR_SYMMETRIC = False
+    scale = np.abs(a_ref).max()
+    np.testing.assert_allclose(a_sym, a_ref, rtol=0, atol=3e-5 * scale)
+    flux = np.abs((mass[None, :] * a_sym).sum(axis=1))
+    assert np.all(flux < 1e-4 * np.abs(mass[None, :] * a_sym).sum())
 
 
 def test_sr_sweep_dispatch_vmem_gate(monkeypatch):
