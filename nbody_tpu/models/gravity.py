@@ -396,10 +396,19 @@ def make_accel_fn(
     required to differentiate through the Pallas kernels and cheaper than
     XLA autodiff for the naive one.  ``backward_opts`` flow to the VJP
     wrapper (backward mode, tiles — e.g. from
-    ``autotune_tiles(n, family='backward')``)."""
+    ``autotune_tiles(n, family='backward')``).
+
+    The mesh tiers differentiate NATIVELY instead: the exact-pair
+    analytic VJP would silently return all-pairs cotangents for a mesh
+    forward.  pm is reverse-differentiable as-is; p3m gets the
+    static-bound sweep (ops/pm.py ``differentiable=True``)."""
     from ..ops import registry
 
     fn = registry.get(kernel_name)
+    if kernel_name in ("pm", "p3m"):
+        if differentiable:
+            opts = dict(opts, differentiable=True)
+        return functools.partial(fn, **opts) if opts else fn
     if opts:
         fn = functools.partial(fn, **opts)
     if differentiable:

@@ -1248,7 +1248,8 @@ def accelerations(
 def p3m_accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
-    sr_slabs: int = 0, sr_entries: int = 0, **_opts
+    sr_slabs: int = 0, sr_entries: int = 0, differentiable: bool = False,
+    **_opts
 ) -> jax.Array:
     """The ``p3m`` registry entry: the mesh solver with the short-range
     correction ON by default (accurate on clustered distributions)."""
@@ -1256,18 +1257,21 @@ def p3m_accelerations(
         pos, pos, mass, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
         capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
+        differentiable=differentiable,
     )
 
 
 def p3m_accelerations_between(
     pos_tgt: jax.Array, pos_src: jax.Array, mass_src: jax.Array,
     grid: int = DEFAULT_GRID, cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
-    capacity: int = 0, sr_slabs: int = 0, sr_entries: int = 0, **_opts,
+    capacity: int = 0, sr_slabs: int = 0, sr_entries: int = 0,
+    differentiable: bool = False, **_opts,
 ) -> jax.Array:
     return accelerations_between(
         pos_tgt, pos_src, mass_src, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
         capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
+        differentiable=differentiable,
     )
 
 

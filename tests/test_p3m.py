@@ -441,6 +441,33 @@ def test_sr_sweep_dispatch_vmem_gate(monkeypatch):
     assert pm._use_pallas_sweep() is True  # unknown size: optimistic
 
 
+def test_make_accel_fn_mesh_tiers_native_ad():
+    """make_accel_fn('p3m', differentiable=True) must use the native AD
+    path (static-bound sweep), NOT the exact-pair analytic VJP — a mesh
+    forward with all-pairs cotangents would silently mismatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbody_tpu.models.gravity import make_accel_fn
+
+    pos, _, mass = plummer(256, seed=18)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    fn = make_accel_fn("p3m", differentiable=True, grid=16, capacity=64)
+
+    def loss(p):
+        a = fn(p, mass)
+        return jnp.mean(a * a)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(pos))
+    want = np.asarray(jax.grad(
+        lambda p: jnp.mean(pm.accelerations(
+            p, mass, grid=16, cutoff_cells=4, capacity=64,
+            differentiable=True) ** 2))(pos))
+    np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-8)
+
+
 def test_suggest_capacity_data_driven():
     pos, _, mass = plummer(2048, seed=1)
     cap = pm.suggest_capacity(pos, mass, 128, 4)
