@@ -270,14 +270,16 @@ def test_autotune_online_sharded(monkeypatch):
     from nbody_tpu.config import SimConfig
     from nbody_tpu.simulation import run
 
-    cfg = SimConfig(n=500, nsteps=250, sfreq=50, kernel="pallas",
+    # 3 blocks: one per candidate, then the lock-in block (interpreted
+    # sharded steps cost ~1.5 s each — keep the count minimal).
+    cfg = SimConfig(n=260, nsteps=120, sfreq=40, kernel="pallas",
                     shards=4, comm="ring", interpret=True,
                     autotune_online=True)
     result = run(cfg, quiet=True)
-    assert len(result.samples) == 5
+    assert len(result.samples) == 3
     assert (cfg.tile_i, cfg.tile_j) in ((32, 64), (64, 64))  # locked
 
-    ref = run(SimConfig(n=500, nsteps=250, sfreq=50, kernel="naive"),
+    ref = run(SimConfig(n=260, nsteps=120, sfreq=40, kernel="naive"),
               quiet=True)
     for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
         assert s == s_r and abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9)
