@@ -7,7 +7,11 @@ force + integrate trajectory is differentiable (analytic custom VJP,
 ops/grad.py), so inverse problems — fitting initial conditions to hit a
 target state — are a few lines of optimization.
 
-Usage: python examples/fit_velocities.py [N] [steps] [iters]
+Usage: python examples/fit_velocities.py [N] [steps] [iters] [kernel]
+
+``kernel`` defaults to the exact `naive` tier; pass `p3m` to fit
+through the differentiable O(N log N) mesh tier instead (the
+static-bound short-range sweep, ops/pm.py).
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+    kernel = sys.argv[4] if len(sys.argv) > 4 else "naive"
 
     import jax
     import jax.numpy as jnp
@@ -32,7 +37,8 @@ def main() -> int:
     pos0 = jnp.asarray(pos0_np)
     vel_true = jnp.asarray(vel_true_np)
     mass = jnp.asarray(mass_np)
-    accel = make_accel_fn("naive", differentiable=True)
+    opts = dict(grid=32, capacity=64) if kernel in ("pm", "p3m") else {}
+    accel = make_accel_fn(kernel, differentiable=True, **opts)
     dt = jnp.float32(0.1)
 
     def rollout(vel):
