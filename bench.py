@@ -37,6 +37,7 @@ SUITE = (
     ("n1m", "f32", 1048576, 4, False, None),
     ("n4m", "f32", 4194304, 2, False, None),  # host-chunked executables
     ("n4m-pm-equivalent", "f32", 4194304, 8, False, "pm"),
+    ("n1m-p3m-equivalent", "f32", 1048576, 8, False, "p3m"),
 )
 
 
