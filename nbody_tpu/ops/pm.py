@@ -547,11 +547,17 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
     VPU work, and the accumulate is a row scatter-add; nothing indexes
     per particle.  The loop bound is TRACED (ceil(n_entries/chunk)) so
     the statically padded worklist tail is skipped at runtime — which
-    also makes the sweep forward-only (reverse-mode AD cannot cross a
-    traced-length loop; pm with cutoff 0 remains the differentiable
-    tier).  With ``chunk_cap > 0`` only chunks [chunk_lo, chunk_lo +
-    chunk_cap) are swept — the sharded path splits entry chunks across
-    shards and psums the slot table."""
+    makes the sweep forward-only, UNLESS ``static_bound=True``
+    (the ``differentiable=True`` path) swaps in the static chunk count:
+    reverse AD then crosses the loop, at the cost of also sweeping the
+    zero-contribution tail (do NOT combine with a traced ``chunk_lo``:
+    the min() below re-traces the bound and AD fails again — the
+    sharded caller never passes static_bound).  With ``chunk_cap > 0``
+    only chunks
+    [chunk_lo, chunk_lo + chunk_cap) are swept — the sharded path
+    splits entry chunks across shards and psums the slot table.
+    ``symmetric=True`` executes the s >= t worklist (see _sr_ranges)
+    and adds the per-entry reaction."""
     f32 = jnp.float32
     eps2 = f32(SOFTENING_SQUARED)
     e_max = wl_t.shape[0]
