@@ -615,7 +615,7 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
 
 def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
                      chunk: int = 1024, interpret: bool = False,
-                     symmetric: bool = False):
+                     symmetric: bool = False, flush_runs: bool = True):
     """The short-range sweep as a Pallas TPU kernel.
 
     The XLA-composed _sr_sweep materializes (chunk, SLAB, SLAB) gather
@@ -699,21 +699,9 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
                 cols += (jnp.transpose(m_ref[ts, :]),)
             return cols
 
-        def body(e, carry):
-            t_cur, cols, ax, ay, az = carry
-            t = wlt_ref[e]
-            s = wls_ref[e]
-            changed = t != t_cur
-
-            @pl.when(changed)
-            def _():
-                flush(t_cur, ax, ay, az)
-
-            cols = jax.lax.cond(
-                changed, lambda: tgt_cols(t), lambda: cols)
-            ax, ay, az = jax.lax.cond(
-                changed, lambda: (zero, zero, zero),
-                lambda: (ax, ay, az))
+        def pair_terms(t, s, cols):
+            """Mass-free pair blocks b = (1-S)u^3*d against target
+            columns, plus the symmetric reaction RMW."""
             xt, yt, zt = cols[0], cols[1], cols[2]
             ss = pl.ds(s, 1)
             dx = x_ref[ss, :] - xt  # (SLAB, SLAB): tgt sub, src lane
@@ -723,7 +711,6 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             u = jax.lax.rsqrt(r2 + eps2)
             w0 = (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
             bx, by, bz = w0 * dx, w0 * dy, w0 * dz
-            ms = m_ref[ss, :]
             if symmetric:
                 # Reaction on the source slab: -sum_t m_t * b (sublane
                 # reduce, row RMW); diagonal blocks hold both
@@ -738,15 +725,51 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
                                              keepdims=True)
                     oz_ref[ss, :] -= jnp.sum(mt * bz, axis=0,
                                              keepdims=True)
-            return (t, cols, ax + ms * bx, ay + ms * by, az + ms * bz)
+            ms = m_ref[ss, :]
+            return ms * bx, ms * by, ms * bz
 
-        # Start each chunk on the sentinel row: the first real entry
-        # flushes the zero accumulator there (harmless), and runs that
-        # span chunk boundaries simply RMW their row twice.
-        col0 = (zero[:, :1],) * (4 if symmetric else 3)
-        init = (jnp.asarray(n_slabs - 1, i32), col0, zero, zero, zero)
-        t_c, _, ax, ay, az = jax.lax.fori_loop(e0, e1, body, init)
-        flush(t_c, ax, ay, az)
+        if flush_runs:
+            def body(e, carry):
+                t_cur, cols, ax, ay, az = carry
+                t = wlt_ref[e]
+                s = wls_ref[e]
+                changed = t != t_cur
+
+                @pl.when(changed)
+                def _():
+                    flush(t_cur, ax, ay, az)
+
+                cols = jax.lax.cond(
+                    changed, lambda: tgt_cols(t), lambda: cols)
+                ax, ay, az = jax.lax.cond(
+                    changed, lambda: (zero, zero, zero),
+                    lambda: (ax, ay, az))
+                px, py, pz = pair_terms(t, s, cols)
+                return (t, cols, ax + px, ay + py, az + pz)
+
+            # Start each chunk on the sentinel row: the first real
+            # entry flushes the zero accumulator there (harmless), and
+            # runs that span chunk boundaries simply RMW their row
+            # twice.
+            col0 = (zero[:, :1],) * (4 if symmetric else 3)
+            init = (jnp.asarray(n_slabs - 1, i32), col0, zero, zero,
+                    zero)
+            t_c, _, ax, ay, az = jax.lax.fori_loop(e0, e1, body, init)
+            flush(t_c, ax, ay, az)
+        else:
+            # Flushless fallback: per-entry target relayout + reduce +
+            # RMW.  Slower (no run amortization) but uses ONLY
+            # hardware-proven constructs — no lax.cond-carried vector
+            # state — the compile-risk insurance for first Mosaic
+            # contact.
+            def body(e, _):
+                t = wlt_ref[e]
+                s = wls_ref[e]
+                px, py, pz = pair_terms(t, s, tgt_cols(t))
+                flush(t, px, py, pz)
+                return 0
+
+            jax.lax.fori_loop(e0, e1, body, 0)
 
     out_shape = jax.ShapeDtypeStruct((n_slabs, SLAB), f32)
     full = pl.BlockSpec((n_slabs, SLAB), lambda i: (0, 0))

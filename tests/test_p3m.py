@@ -232,6 +232,13 @@ def test_sr_sweep_pallas_matches_xla():
     assert a_pl.shape == a_xla.shape
     scale = np.abs(a_xla).max()
     np.testing.assert_allclose(a_pl, a_xla, rtol=0, atol=2e-5 * scale)
+    # The flushless fallback (per-entry reduce, no cond-carried state)
+    # must agree too — it is the first-Mosaic-contact insurance path.
+    a_nf = np.asarray(pm._sr_sweep_pallas(ptab, mtab, wl_t, wl_s,
+                                          (0, e_max), rc2, chunk=128,
+                                          interpret=True,
+                                          flush_runs=False))
+    np.testing.assert_allclose(a_nf, a_xla, rtol=0, atol=2e-5 * scale)
 
 
 def test_sr_sweep_pallas_bounds_split():
