@@ -365,6 +365,11 @@ SLAB = 64
 # the choice is a backend property; experiments/tests override it.
 SR_SWEEP_IMPL = "auto"
 
+# Flush-on-target-change accumulator in the Pallas sweep (True) vs the
+# flushless per-entry fallback (False) — flip if a Mosaic version
+# rejects the cond-carried accumulator pattern.
+SR_FLUSH_RUNS = True
+
 # Pair-symmetric short-range sweep: each unordered slab pair once
 # (s >= t), reaction added per entry.  ~47% of the entries for ~25%
 # extra per-entry work.  Off until the Pallas path has a hardware
@@ -1041,7 +1046,8 @@ def accelerations_between(
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
-                interpret=jax.default_backend() != "tpu", symmetric=sym)
+                interpret=jax.default_backend() != "tpu", symmetric=sym,
+                flush_runs=SR_FLUSH_RUNS)
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
                              static_bound=differentiable, symmetric=sym)
@@ -1234,7 +1240,8 @@ def sharded_accelerations(
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (k_id * per, jnp.minimum((k_id + 1) * per, e_lim)), rc2,
-                interpret=jax.default_backend() != "tpu", symmetric=sym)
+                interpret=jax.default_backend() != "tpu", symmetric=sym,
+                flush_runs=SR_FLUSH_RUNS)
         else:
             chunk = 512
             nch_total = -((-e_max) // chunk)

@@ -74,7 +74,8 @@ def _interp():
     return jax.default_backend() != "tpu"
 
 
-def time_isolated(pk, impl, base_reps, symmetric=False):
+def time_isolated(pk, impl, base_reps, symmetric=False,
+                  flush_runs=True):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -87,7 +88,8 @@ def time_isolated(pk, impl, base_reps, symmetric=False):
                 return pm._sr_sweep_pallas(p, pk["mtab"], pk["wl_t"],
                                            pk["wl_s"], (0, pk["e_lim"]),
                                            pk["rc2"], interpret=_interp(),
-                                           symmetric=symmetric)
+                                           symmetric=symmetric,
+                                           flush_runs=flush_runs)
         else:
             def one(p):
                 return pm._sr_sweep(p, pk["mtab"], pk["wl_t"], pk["wl_s"],
@@ -189,6 +191,9 @@ def main():
                                   pk["plan"], impl, reps)
                     print(f"{dist:>10} {n:>8} {'p3m/'+impl:>14} "
                           f"{t*1e3:>9.2f}", flush=True)
+            t = time_isolated(pk, "pallas", reps, flush_runs=False)
+            print(f"{dist:>10} {n:>8} {'sweep/pl-noflu':>14} "
+                  f"{t*1e3:>9.2f}  {gp/t/1e9:.1f} Gpairs/s", flush=True)
             # Pair-symmetric worklist (s >= t) + per-entry reaction.
             pks = _pack(state.pos, state.mass, args.ng, cutoff,
                         symmetric=True)
