@@ -406,6 +406,11 @@ def make_accel_fn(
 
     fn = registry.get(kernel_name)
     if kernel_name in ("pm", "p3m"):
+        if backward_opts:
+            raise ValueError(
+                "backward_opts tune the exact-pair analytic VJP and do "
+                f"not apply to the native-AD mesh tier '{kernel_name}'"
+            )
         if differentiable:
             opts = dict(opts, differentiable=True)
         return functools.partial(fn, **opts) if opts else fn

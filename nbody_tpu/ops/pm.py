@@ -537,6 +537,44 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     return wl_t, wl_s, n_e
 
 
+def sr_pack_inputs(pos, mass, grid: int = DEFAULT_GRID,
+                   cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
+                   capacity: int = 0, sr_slabs: int = 0,
+                   sr_entries: int = 0, symmetric: bool = False) -> dict:
+    """Build the short-range packed tables + worklist EXACTLY as
+    ``accelerations_between``'s same-set branch does — the single
+    packing recipe, exposed so tests and experiment scripts compare the
+    sweeps against the configuration the production solver actually
+    runs (hand-maintained replicas drift).  Returns a dict with
+    ``ptab, mtab, wl_t, wl_s, n_e, e_max, rc2``."""
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    ng = int(grid)
+    nc, sub = _cell_grid_params(ng, int(cutoff_cells))
+    n_cells = nc * nc * nc
+    ns = pos.shape[1]
+    lo_box, hi_box = _robust_box(pos, mass)
+    span = hi_box - lo_box
+    inc = (mass * _inside(pos, lo_box, hi_box)) > 0
+    cap = int(capacity) or _auto_capacity(ns, n_cells)
+    s_max = int(sr_slabs)
+    e_max = int(sr_entries)
+    if not (s_max and e_max):
+        ds, de = _default_sr_plan(ns, n_cells, sub, -((-cap) // SLAB))
+        s_max, e_max = s_max or ds, e_max or de
+    rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
+    co = _cell_coords(pos, lo_box, f32(nc) / span, nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    cid = jnp.where(inc, cid, n_cells)
+    ptab, mtab, slab_lo, slab_hi, _, _ = _sr_pack(
+        cid, pos, mass, n_cells, cap, s_max)
+    wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
+                                 symmetric=symmetric)
+    return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
+                e_max=e_max, rc2=rc * rc)
+
+
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
               chunk_lo=0, chunk_cap: int = 0,
               static_bound: bool = False, symmetric: bool = False):
@@ -1419,9 +1457,14 @@ def suggest_sr_plan(
     re-suggest periodically (scripts/exp_p3m_stress.py does per
     sub-block).  Returns kwargs for the p3m entries:
     ``{"capacity", "sr_slabs", "sr_entries"}``."""
+    # Always size for the FULL (both-directions) worklist, even when
+    # SR_SYMMETRIC is on: the knob is read again at trace time, and a
+    # plan sized for the clipped worklist would silently starve a
+    # later full-worklist trace (dropped entries, no error).  The
+    # symmetric run just gets ~2x entry headroom.
     cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells)
     s, e = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells), cap,
-                           SR_SYMMETRIC)
+                           False)
 
     def pow2_at_least(x):
         v = 64

@@ -182,10 +182,14 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         # is not spatial).
         from ..ops import pm as pm_ops
 
+        # Keep the measured SR plan (sr_slabs/sr_entries): without it
+        # sharded p3m falls back to the 2^22-capped default bound and
+        # silently drops worklist entries on clustered N >~ 1M.
         popts = {
             key: v
             for key, v in kernel_opts.items()
-            if key in ("grid", "cutoff_cells", "capacity")
+            if key in ("grid", "cutoff_cells", "capacity",
+                       "sr_slabs", "sr_entries")
         }
         if kernel_name == "p3m":
             popts.setdefault("cutoff_cells", pm_ops.DEFAULT_CUTOFF_CELLS)

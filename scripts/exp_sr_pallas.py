@@ -26,30 +26,36 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _pack(pos, mass, ng, cutoff, symmetric=False):
-    """Replicate accelerations_between's short-range packing (same_set
-    branch) so the sweeps can be timed in isolation."""
-    import jax.numpy as jnp
+    """Short-range packing via the solver's own recipe
+    (pm.sr_pack_inputs), sized by the measured plan."""
+    import jax
 
     from nbody_tpu.ops import pm
 
-    nc, sub = pm._cell_grid_params(ng, cutoff)
-    n_cells = nc * nc * nc
-    lo_box, hi_box = pm._robust_box(pos, mass)
-    span = hi_box - lo_box
-    inc = (mass * pm._inside(pos, lo_box, hi_box)) > 0
-    plan = pm.suggest_sr_plan(pos, mass, ng, cutoff)
-    cap, s_max, e_max = (plan["capacity"], plan["sr_slabs"],
-                         plan["sr_entries"])
-    rc = jnp.float32(sub) * jnp.min(span[:, 0]) / jnp.float32(nc)
-    co = pm._cell_coords(pos, lo_box, jnp.float32(nc) / span, nc)
-    cid = (co[0] * nc + co[1]) * nc + co[2]
-    cid = jnp.where(inc, cid, n_cells)
-    ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
-        cid, pos, mass, n_cells, cap, s_max)
-    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
-                                    symmetric=symmetric)
-    return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
-                e_lim=int(n_e), e_max=e_max, rc2=rc * rc, plan=plan)
+    if pm.SLAB == 64:
+        plan = pm.suggest_sr_plan(pos, mass, ng, cutoff)
+    else:
+        # suggest_sr_plan's jitted counts cache does not key on the
+        # monkeypatched pm.SLAB — build a FRESH jit so the SLAB=128
+        # probe gets correctly sized (not 2x/4x oversized) tables.
+        cap0 = pm.suggest_capacity(pos, mass, ng, cutoff)
+        counts = jax.jit(pm._sr_plan_counts.__wrapped__,
+                         static_argnums=(2, 3, 4, 5))
+        s_c, e_c = counts(pos, mass, ng, cutoff, cap0, False)
+
+        def pow2(x):
+            v = 64
+            while v < x:
+                v *= 2
+            return v
+
+        plan = {"capacity": cap0, "sr_slabs": pow2(int(s_c) * 1.5),
+                "sr_entries": pow2(int(e_c) * 1.5)}
+    pk = pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=cutoff,
+                           symmetric=symmetric, **plan)
+    pk["e_lim"] = int(pk["n_e"])
+    pk["plan"] = plan
+    return pk
 
 
 def _time_loop(make_run, base_reps):
@@ -136,16 +142,25 @@ def time_full(pos, mass, ng, plan, impl, base_reps):
 
 
 def sweep_correct(pk):
+    import jax
+    import jax.numpy as jnp
+
     from nbody_tpu.ops import pm
 
-    a_x = np.asarray(pm._sr_sweep(pk["ptab"], pk["mtab"], pk["wl_t"],
-                                  pk["wl_s"], pk["n_e"], pk["rc2"]))
-    a_p = np.asarray(pm._sr_sweep_pallas(pk["ptab"], pk["mtab"],
-                                         pk["wl_t"], pk["wl_s"],
-                                         (0, pk["e_lim"]), pk["rc2"],
-                                         interpret=_interp()))
-    denom = max(float(np.abs(a_x).max()), 1e-30)
-    return float(np.abs(a_p - a_x).max()) / denom
+    # On-device scalar comparison: fetching two full slot tables is
+    # ~25 MB each at N=1M — minutes-slow over the tunnel (CLAUDE.md).
+    @jax.jit
+    def agree():
+        a_x = pm._sr_sweep(pk["ptab"], pk["mtab"], pk["wl_t"],
+                           pk["wl_s"], pk["n_e"], pk["rc2"])
+        a_p = pm._sr_sweep_pallas(pk["ptab"], pk["mtab"],
+                                  pk["wl_t"], pk["wl_s"],
+                                  (0, pk["e_lim"]), pk["rc2"],
+                                  interpret=_interp())
+        return (jnp.abs(a_p - a_x).max()
+                / jnp.maximum(jnp.abs(a_x).max(), 1e-30))
+
+    return float(agree())
 
 
 def main():

@@ -189,31 +189,15 @@ def test_p3m_overflow_momentum_symmetric():
 
 def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11,
                          symmetric=False):
-    """Replicate accelerations_between's short-range packing (pm.py
-    same_set branch) so the two sweep implementations can be compared
-    in isolation."""
-    import jax.numpy as jnp
-
+    """Short-range packing via the solver's own recipe (pm.sr_pack_inputs
+    — the shared seam, so the sweeps are compared in exactly the
+    configuration the production solver runs)."""
     pos, _, mass = plummer(n, seed=seed)
-    pos = jnp.asarray(pos, jnp.float32)
-    mass = jnp.asarray(mass, jnp.float32)
-    nc, sub = pm._cell_grid_params(ng, cutoff)
-    n_cells = nc * nc * nc
-    lo_box, hi_box = pm._robust_box(pos, mass)
-    span = hi_box - lo_box
-    inc = (mass * pm._inside(pos, lo_box, hi_box)) > 0
     cap = pm.suggest_capacity(pos, mass, ng, cutoff)
-    s_max, e_max = pm._default_sr_plan(n, n_cells, sub,
-                                       -((-cap) // pm.SLAB))
-    rc = jnp.float32(sub) * jnp.min(span[:, 0]) / jnp.float32(nc)
-    co = pm._cell_coords(pos, lo_box, jnp.float32(nc) / span, nc)
-    cid = (co[0] * nc + co[1]) * nc + co[2]
-    cid = jnp.where(inc, cid, n_cells)
-    ptab, mtab, slab_lo, slab_hi, _, _ = pm._sr_pack(
-        cid, pos, mass, n_cells, cap, s_max)
-    wl_t, wl_s, n_e = pm._sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
-                                    symmetric=symmetric)
-    return ptab, mtab, wl_t, wl_s, n_e, e_max, rc * rc
+    pk = pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=cutoff,
+                           capacity=cap, symmetric=symmetric)
+    return (pk["ptab"], pk["mtab"], pk["wl_t"], pk["wl_s"], pk["n_e"],
+            pk["e_max"], pk["rc2"])
 
 
 def test_sr_sweep_pallas_matches_xla():
@@ -415,8 +399,10 @@ def test_sr_symmetric_knob_end_to_end():
     assert pm.SR_SYMMETRIC is False
     pm.SR_SYMMETRIC = True
     try:
+        # Plans are always sized for the FULL worklist (knob-flip
+        # safety: a clipped-size plan would starve a later full trace).
         plan_s = pm.suggest_sr_plan(pos, mass, 64, 4)
-        assert plan_s["sr_entries"] <= plan["sr_entries"]
+        assert plan_s["sr_entries"] == plan["sr_entries"]
         a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan_s))
     finally:
         pm.SR_SYMMETRIC = False

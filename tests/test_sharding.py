@@ -209,6 +209,31 @@ def test_sharded_mesh_solver_matches_single_device(kern, opts):
     assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
 
 
+def test_sharded_p3m_forwards_measured_sr_plan(monkeypatch):
+    """The sharded builder must pass the engine's measured SR plan
+    (sr_slabs/sr_entries) through to pm.sharded_accelerations — dropping
+    it falls back to the 2^22-capped default and silently loses
+    worklist entries on clustered N >~ 1M."""
+    from nbody_tpu.ops import pm as pm_ops
+
+    captured = {}
+    orig = pm_ops.sharded_accelerations
+
+    def spy(p, m, axis, **kw):
+        captured.update(kw)
+        return orig(p, m, axis, **kw)
+
+    monkeypatch.setattr(pm_ops, "sharded_accelerations", spy)
+    state = make_state(256, pad_multiple=8)
+    sharded, mesh = shard_state(state, 4)
+    blk = make_sharded_block_fn(
+        "p3m", dict(grid=32, capacity=64, sr_slabs=128, sr_entries=2048),
+        0.01, 1, mesh, comm="allgather")
+    blk(sharded)
+    assert captured.get("sr_slabs") == 128
+    assert captured.get("sr_entries") == 2048
+
+
 def test_sharded_mesh_rejects_ring():
     state = make_state(256, pad_multiple=8)
     sharded, mesh = shard_state(state, 8)
