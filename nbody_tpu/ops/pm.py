@@ -376,16 +376,29 @@ SR_FLUSH_RUNS = True
 # measurement; flip after scripts/exp_sr_pallas.py --symmetric wins.
 SR_SYMMETRIC = False
 
+# Paired-row tables in the Pallas sweep: two SLAB=64 slabs share one
+# 128-lane VMEM row, so the (64, 64) pair blocks the plain layout
+# lane-pads to (64, 128) become FULL (64, 128) blocks against two
+# source slabs at once — every lane does real work, table VMEM halves
+# (lifting the Pallas tier's N cap ~2x), and the worklist shrinks to
+# row granularity (~half the entries).  Costs a parity select per
+# target change.  Off until the hardware A/B
+# (scripts/exp_sr_pallas.py pl-paired row); overridden off while
+# SR_SYMMETRIC is on (unsupported combination).
+SR_PAIRED_ROWS = False
 
-def _use_pallas_sweep(n_slabs: int = 0) -> bool:
+
+def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
     """Dispatch: Pallas sweep on TPU when its VMEM-resident tables fit.
 
     The seven (n_slabs, SLAB) tables (x/y/z/m in, 3 accumulators out)
     are lane-padded SLAB=64 -> 128 on the VPU, so each costs
-    n_slabs*128*4 bytes; past ~70% of the device VMEM budget (N ~ 2M
-    slots on a 128 MB v5e) fall back to the HBM-streaming XLA sweep
-    rather than OOM.  A forced SR_SWEEP_IMPL ("pallas"/"xla") is
-    absolute — experiments own the consequences."""
+    n_slabs*128*4 bytes — unless ``paired`` (SR_PAIRED_ROWS) packs two
+    slabs per 128-lane row, halving that to n_slabs*SLAB*4.  Past ~70%
+    of the device VMEM budget (N ~ 2M slots plain / ~4M paired on a
+    128 MB v5e) fall back to the HBM-streaming XLA sweep rather than
+    OOM.  A forced SR_SWEEP_IMPL ("pallas"/"xla") is absolute —
+    experiments own the consequences."""
     if SR_SWEEP_IMPL != "auto":
         return SR_SWEEP_IMPL == "pallas"
     if jax.default_backend() != "tpu":
@@ -393,7 +406,7 @@ def _use_pallas_sweep(n_slabs: int = 0) -> bool:
     if n_slabs:
         from ..utils import device_caps
 
-        need = 7 * n_slabs * 128 * 4
+        need = 7 * n_slabs * (SLAB if paired else 128) * 4
         if need > 0.7 * device_caps.caps().vmem_limit_bytes:
             return False
     return True
@@ -464,9 +477,22 @@ def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
 
 
 def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
-               symmetric: bool = False):
+               symmetric: bool = False, paired: bool = False):
     """Static-shape worklist of (target-slab, source-slab) dense pair
     blocks from PACKED slab cid bounds.
+
+    ``paired=True`` emits ``wl_s`` as PAIRED-ROW indices (row r = slabs
+    2r and 2r+1 — the (n_rows, 2*SLAB) table layout of the paired Pallas
+    sweep): each deduped slab interval coarsens to the covering row
+    interval, then a SECOND running max strips the boundary row two
+    consecutive intervals can share (it would double-count that row's
+    pairs).  Coarsening only ever ADDS slabs from the complement of the
+    slab-level union, which is beyond-R_c by the window-covers-reach
+    construction — exactly zero taper weight, so values are unchanged.
+    Entry count never exceeds the slab-level count (a row interval is
+    at most as long as its slab interval).  Mutually exclusive with
+    ``symmetric`` (the per-slab diagonal/reaction logic does not
+    translate to two-slab source rows).
 
     ``symmetric=True`` keeps only entries with s >= t (each unordered
     slab pair once, plus the diagonal): every within-cutoff pair is
@@ -501,6 +527,8 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     are laid out t-major, so each target slab's entries form one
     contiguous run — the Pallas sweep's flush-on-target-change
     accumulator depends on this."""
+    if symmetric and paired:
+        raise ValueError("paired rows do not support the symmetric sweep")
     i32 = jnp.int32
     s_max = slab_lo.shape[0]
     n_cells = nc * nc * nc
@@ -522,6 +550,20 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     if symmetric:
         s0 = jnp.maximum(s0, jnp.arange(s_max, dtype=i32)[:, None])
     s1 = jnp.maximum(s1, s0)
+    sent_s = s_max
+    if paired:
+        # Coarsen each (post-dedup, ascending, disjoint) slab interval
+        # to its covering row interval, then re-dedup at row
+        # granularity: consecutive intervals may share a boundary row.
+        nonempty = s1 > s0
+        r0 = s0 // 2
+        r1 = jnp.where(nonempty, (s1 + 1) // 2, r0)
+        run_r = jnp.concatenate(
+            [jnp.zeros((s_max, 1), i32),
+             jax.lax.cummax(r1, axis=1)[:, :-1]], axis=1)
+        s0 = jnp.maximum(r0, run_r)
+        s1 = jnp.maximum(r1, s0)
+        sent_s = s_max // 2  # the row holding the sentinel slab
     cnt = jnp.where(has[:, None], s1 - s0, 0)  # (S, R)
     flat = cnt.reshape(-1)
     cum = jnp.cumsum(flat)
@@ -533,14 +575,15 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     j_c = jnp.minimum(j, flat.shape[0] - 1)
     wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
     wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
-                     s_max).astype(i32)
+                     sent_s).astype(i32)
     return wl_t, wl_s, n_e
 
 
 def sr_pack_inputs(pos, mass, grid: int = DEFAULT_GRID,
                    cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
                    capacity: int = 0, sr_slabs: int = 0,
-                   sr_entries: int = 0, symmetric: bool = False) -> dict:
+                   sr_entries: int = 0, symmetric: bool = False,
+                   paired: bool = False) -> dict:
     """Build the short-range packed tables + worklist EXACTLY as
     ``accelerations_between``'s same-set branch does — the single
     packing recipe, exposed so tests and experiment scripts compare the
@@ -570,7 +613,7 @@ def sr_pack_inputs(pos, mass, grid: int = DEFAULT_GRID,
     ptab, mtab, slab_lo, slab_hi, _, _ = _sr_pack(
         cid, pos, mass, n_cells, cap, s_max)
     wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
-                                 symmetric=symmetric)
+                                 symmetric=symmetric, paired=paired)
     return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
                 e_max=e_max, rc2=rc * rc)
 
@@ -658,7 +701,8 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
 
 def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
                      chunk: int = 1024, interpret: bool = False,
-                     symmetric: bool = False, flush_runs: bool = True):
+                     symmetric: bool = False, flush_runs: bool = True,
+                     paired: bool = False):
     """The short-range sweep as a Pallas TPU kernel.
 
     The XLA-composed _sr_sweep materializes (chunk, SLAB, SLAB) gather
@@ -686,24 +730,45 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
     per-512-entry scatter-adds), so results agree to summation-order
     tolerance.  Output rows land t-major; sentinel-target garbage
     (beyond-n_e entries never run; capacity-overflow slots are
-    where()'d out by the caller) is zeroed for parity with _sr_sweep."""
+    where()'d out by the caller) is zeroed for parity with _sr_sweep.
+
+    ``paired=True`` (SR_PAIRED_ROWS): two consecutive slabs share one
+    (2*SLAB)-lane table row — the reshape is free because _sr_pack's
+    slot order is slab-major — and ``wl_s`` must hold ROW indices
+    (_sr_ranges ``paired=True``).  Pair blocks become (SLAB, 2*SLAB):
+    every VPU lane does real work instead of half of them idling in
+    the 64->128 pad, table VMEM halves, and entries roughly halve.
+    Targets are still single slabs (wl_t unchanged): the column
+    relayout and the flush RMW select the target's half-row by parity
+    (one lax.cond per target change).  Not combinable with
+    ``symmetric`` (per-slab diagonal/reaction logic)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..utils import device_caps
 
+    if paired and symmetric:
+        raise ValueError("paired rows do not support the symmetric sweep")
     f32 = jnp.float32
     i32 = jnp.int32
     nslots = ptab.shape[1]
     n_slabs = nslots // SLAB  # s_max real slabs + 1 sentinel
+    if paired and n_slabs % 2:
+        # One extra zero slab so slabs pair up into full rows.
+        ptab = jnp.pad(ptab, ((0, 0), (0, SLAB)))
+        mtab = jnp.pad(mtab, ((0, SLAB),))
+        n_slabs += 1
+    width = 2 * SLAB if paired else SLAB  # lanes per table row
+    n_trows = n_slabs // 2 if paired else n_slabs  # table rows
     e_max = wl_t.shape[0]
     pad = (-e_max) % chunk
     if pad:
-        ext = jnp.full((pad,), n_slabs - 1, wl_t.dtype)
-        wl_t = jnp.concatenate([wl_t, ext])
-        wl_s = jnp.concatenate([wl_s, ext])
+        ext_t = jnp.full((pad,), n_slabs - 1, wl_t.dtype)
+        ext_s = jnp.full((pad,), n_trows - 1, wl_s.dtype)
+        wl_t = jnp.concatenate([wl_t, ext_t])
+        wl_s = jnp.concatenate([wl_s, ext_s])
     n_chunks = (e_max + pad) // chunk
-    tabs = ptab.reshape(3, n_slabs, SLAB)
+    tabs = ptab.reshape(3, n_trows, width)
 
     def kern(wlt_ref, wls_ref, b_ref, rc2_ref, x_ref, y_ref, z_ref,
              m_ref, ox_ref, oy_ref, oz_ref):
@@ -722,22 +787,40 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
         e0 = jnp.clip(b_ref[0] - base, 0, chunk)
         e1 = jnp.clip(b_ref[1] - base, 0, chunk)
         rc2v = rc2_ref[0, 0]
-        zero = jnp.zeros((SLAB, SLAB), f32)
+        zero = jnp.zeros((SLAB, width), f32)
 
         def flush(t, ax, ay, az):
-            ts = pl.ds(t, 1)
-            ox_ref[ts, :] += jnp.transpose(
-                jnp.sum(ax, axis=1, keepdims=True))
-            oy_ref[ts, :] += jnp.transpose(
-                jnp.sum(ay, axis=1, keepdims=True))
-            oz_ref[ts, :] += jnp.transpose(
-                jnp.sum(az, axis=1, keepdims=True))
+            vx = jnp.transpose(jnp.sum(ax, axis=1, keepdims=True))
+            vy = jnp.transpose(jnp.sum(ay, axis=1, keepdims=True))
+            vz = jnp.transpose(jnp.sum(az, axis=1, keepdims=True))
+            if paired:
+                # Place the (1, SLAB) target sums into the target's
+                # half of its paired row by slab parity.
+                z = jnp.zeros((1, SLAB), f32)
+                vx, vy, vz = jax.lax.cond(
+                    t % 2 == 0,
+                    lambda: (jnp.concatenate([vx, z], axis=1),
+                             jnp.concatenate([vy, z], axis=1),
+                             jnp.concatenate([vz, z], axis=1)),
+                    lambda: (jnp.concatenate([z, vx], axis=1),
+                             jnp.concatenate([z, vy], axis=1),
+                             jnp.concatenate([z, vz], axis=1)))
+            ts = pl.ds(t // 2 if paired else t, 1)
+            ox_ref[ts, :] += vx
+            oy_ref[ts, :] += vy
+            oz_ref[ts, :] += vz
 
         def tgt_cols(t):
-            ts = pl.ds(t, 1)
-            cols = (jnp.transpose(x_ref[ts, :]),  # (SLAB, 1)
+            ts = pl.ds(t // 2 if paired else t, 1)
+            cols = (jnp.transpose(x_ref[ts, :]),  # (width, 1)
                     jnp.transpose(y_ref[ts, :]),
                     jnp.transpose(z_ref[ts, :]))
+            if paired:
+                # The target slab is one half of its paired row.
+                cols = jax.lax.cond(
+                    t % 2 == 0,
+                    lambda: tuple(c[:SLAB] for c in cols),
+                    lambda: tuple(c[SLAB:] for c in cols))
             if symmetric:
                 cols += (jnp.transpose(m_ref[ts, :]),)
             return cols
@@ -747,7 +830,7 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             columns, plus the symmetric reaction RMW."""
             xt, yt, zt = cols[0], cols[1], cols[2]
             ss = pl.ds(s, 1)
-            dx = x_ref[ss, :] - xt  # (SLAB, SLAB): tgt sub, src lane
+            dx = x_ref[ss, :] - xt  # (SLAB, width): tgt sub, src lane
             dy = y_ref[ss, :] - yt
             dz = z_ref[ss, :] - zt
             r2 = dx * dx + dy * dy + dz * dz
@@ -814,8 +897,8 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
 
             jax.lax.fori_loop(e0, e1, body, 0)
 
-    out_shape = jax.ShapeDtypeStruct((n_slabs, SLAB), f32)
-    full = pl.BlockSpec((n_slabs, SLAB), lambda i: (0, 0))
+    out_shape = jax.ShapeDtypeStruct((n_trows, width), f32)
+    full = pl.BlockSpec((n_trows, width), lambda i: (0, 0))
     outs = pl.pallas_call(
         kern,
         grid=(n_chunks,),
@@ -841,12 +924,14 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
         jnp.asarray(bounds, i32),
         rc2.astype(f32).reshape(1, 1),
         tabs[0], tabs[1], tabs[2],
-        mtab.reshape(n_slabs, SLAB),
+        mtab.reshape(n_trows, width),
     )
-    atab = jnp.stack([o.reshape(nslots) for o in outs])
+    # Paired rows reshape back to slab-major slots for free; drop the
+    # even-pairing pad slab (if any) to the caller's nslots.
+    atab = jnp.stack([o.reshape(-1)[:nslots] for o in outs])
     # Zero the sentinel slab for parity with _sr_sweep (overflow slots
     # index it; the caller masks them, but keep the contract clean).
-    return atab.at[:, (n_slabs - 1) * SLAB:].set(f32(0))
+    return atab.at[:, nslots - SLAB:].set(f32(0))
 
 
 def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
@@ -1077,15 +1162,18 @@ def accelerations_between(
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         sym = SR_SYMMETRIC
+        want_pr = SR_PAIRED_ROWS and not sym
+        use_pl = (_use_pallas_sweep(ptab.shape[1] // SLAB, paired=want_pr)
+                  and not differentiable)
+        pr = want_pr and use_pl  # XLA sweep stays slab-granular
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
-                                     symmetric=sym)
-        if (_use_pallas_sweep(ptab.shape[1] // SLAB)
-                and not differentiable):
+                                     symmetric=sym, paired=pr)
+        if use_pl:
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
                 interpret=jax.default_backend() != "tpu", symmetric=sym,
-                flush_runs=SR_FLUSH_RUNS)
+                flush_runs=SR_FLUSH_RUNS, paired=pr)
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
                              static_bound=differentiable, symmetric=sym)
@@ -1268,18 +1356,21 @@ def sharded_accelerations(
         # from their slots (entries are uniform work units, so the
         # entry-range split load-balances regardless of clustering).
         sym = SR_SYMMETRIC
+        want_pr = SR_PAIRED_ROWS and not sym
+        use_pl = _use_pallas_sweep(ptab.shape[1] // SLAB, paired=want_pr)
+        pr = want_pr and use_pl
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
-                                     symmetric=sym)
+                                     symmetric=sym, paired=pr)
         k_sh = lax.axis_size(axis)
         k_id = lax.axis_index(axis)
-        if _use_pallas_sweep(ptab.shape[1] // SLAB):
+        if use_pl:
             e_lim = jnp.minimum(n_e, e_max)
             per = -((-e_lim) // k_sh)
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (k_id * per, jnp.minimum((k_id + 1) * per, e_lim)), rc2,
                 interpret=jax.default_backend() != "tpu", symmetric=sym,
-                flush_runs=SR_FLUSH_RUNS)
+                flush_runs=SR_FLUSH_RUNS, paired=pr)
         else:
             chunk = 512
             nch_total = -((-e_max) // chunk)

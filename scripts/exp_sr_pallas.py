@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def _pack(pos, mass, ng, cutoff, symmetric=False):
+def _pack(pos, mass, ng, cutoff, symmetric=False, paired=False):
     """Short-range packing via the solver's own recipe
     (pm.sr_pack_inputs), sized by the measured plan."""
     import jax
@@ -52,7 +52,7 @@ def _pack(pos, mass, ng, cutoff, symmetric=False):
         plan = {"capacity": cap0, "sr_slabs": pow2(int(s_c) * 1.5),
                 "sr_entries": pow2(int(e_c) * 1.5)}
     pk = pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=cutoff,
-                           symmetric=symmetric, **plan)
+                           symmetric=symmetric, paired=paired, **plan)
     pk["e_lim"] = int(pk["n_e"])
     pk["plan"] = plan
     return pk
@@ -81,7 +81,7 @@ def _interp():
 
 
 def time_isolated(pk, impl, base_reps, symmetric=False,
-                  flush_runs=True):
+                  flush_runs=True, paired=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -95,7 +95,8 @@ def time_isolated(pk, impl, base_reps, symmetric=False,
                                            pk["wl_s"], (0, pk["e_lim"]),
                                            pk["rc2"], interpret=_interp(),
                                            symmetric=symmetric,
-                                           flush_runs=flush_runs)
+                                           flush_runs=flush_runs,
+                                           paired=paired)
         else:
             def one(p):
                 return pm._sr_sweep(p, pk["mtab"], pk["wl_t"], pk["wl_s"],
@@ -114,7 +115,7 @@ def time_isolated(pk, impl, base_reps, symmetric=False,
     return _time_loop(make_run, base_reps)
 
 
-def time_full(pos, mass, ng, plan, impl, base_reps):
+def time_full(pos, mass, ng, plan, impl, base_reps, paired=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -122,6 +123,7 @@ def time_full(pos, mass, ng, plan, impl, base_reps):
     from nbody_tpu.ops import pm
 
     pm.SR_SWEEP_IMPL = impl
+    pm.SR_PAIRED_ROWS = paired
     try:
         def make_run(k):
             @jax.jit
@@ -139,6 +141,7 @@ def time_full(pos, mass, ng, plan, impl, base_reps):
         return _time_loop(make_run, base_reps)
     finally:
         pm.SR_SWEEP_IMPL = "auto"
+        pm.SR_PAIRED_ROWS = False
 
 
 def sweep_correct(pk):
@@ -217,6 +220,20 @@ def main():
             print(f"{dist:>10} {n:>8} {'sweep/pl-sym':>14} "
                   f"{t*1e3:>9.2f}  {gps/t/1e9:.1f} Gpairs/s "
                   f"(entries {int(pks['n_e'])} vs {e_meas})", flush=True)
+            # Paired rows: two slabs per 128-lane row — full lane
+            # utilization, half the table VMEM, ~half the entries.
+            pkp = _pack(state.pos, state.mass, args.ng, cutoff,
+                        paired=True)
+            t = time_isolated(pkp, "pallas", reps, paired=True)
+            gpp = int(pkp["n_e"]) * pm.SLAB * (2 * pm.SLAB)
+            print(f"{dist:>10} {n:>8} {'sweep/pl-paired':>14} "
+                  f"{t*1e3:>9.2f}  {gpp/t/1e9:.1f} Gpairs/s "
+                  f"(entries {int(pkp['n_e'])} vs {e_meas})", flush=True)
+            if not args.skip_full:
+                t = time_full(state.pos, state.mass, args.ng,
+                              pk["plan"], "pallas", reps, paired=True)
+                print(f"{dist:>10} {n:>8} {'p3m/pl-paired':>14} "
+                      f"{t*1e3:>9.2f}", flush=True)
             if not args.skip_slab:
                 old = pm.SLAB
                 try:

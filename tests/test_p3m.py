@@ -188,14 +188,15 @@ def test_p3m_overflow_momentum_symmetric():
 
 
 def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11,
-                         symmetric=False):
+                         symmetric=False, paired=False, sr_slabs=0):
     """Short-range packing via the solver's own recipe (pm.sr_pack_inputs
     — the shared seam, so the sweeps are compared in exactly the
     configuration the production solver runs)."""
     pos, _, mass = plummer(n, seed=seed)
     cap = pm.suggest_capacity(pos, mass, ng, cutoff)
     pk = pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=cutoff,
-                           capacity=cap, symmetric=symmetric)
+                           capacity=cap, symmetric=symmetric,
+                           paired=paired, sr_slabs=sr_slabs)
     return (pk["ptab"], pk["mtab"], pk["wl_t"], pk["wl_s"], pk["n_e"],
             pk["e_max"], pk["rc2"])
 
@@ -410,6 +411,174 @@ def test_sr_symmetric_knob_end_to_end():
     np.testing.assert_allclose(a_sym, a_ref, rtol=0, atol=3e-5 * scale)
     flux = np.abs((mass[None, :] * a_sym).sum(axis=1))
     assert np.all(flux < 1e-4 * np.abs(mass[None, :] * a_sym).sum())
+
+
+def test_sr_ranges_paired_covers_and_dedups():
+    """paired=True worklist structure: (a) no (target, source-row) pair
+    is emitted twice (a duplicate would double-count that row's
+    forces); (b) every slab-level entry (t, s) is covered by a paired
+    entry (t, s//2) — coverage is what makes the value-level agreement
+    below non-vacuous; (c) never more entries than the slab worklist."""
+    full = _packed_sweep_inputs(seed=18)
+    prd = _packed_sweep_inputs(seed=18, paired=True)
+    wl_t, wl_s, n_e = full[2], full[3], int(full[4])
+    pt, ps, ne_p = prd[2], prd[3], int(prd[4])
+    assert 0 < ne_p <= n_e
+    ent = set(zip(np.asarray(pt[:ne_p]).tolist(),
+                  np.asarray(ps[:ne_p]).tolist()))
+    assert len(ent) == ne_p  # no duplicates
+    for t, s in zip(np.asarray(wl_t[:n_e]).tolist(),
+                    np.asarray(wl_s[:n_e]).tolist()):
+        assert (t, s // 2) in ent
+
+
+def test_sr_sweep_pallas_paired_matches_xla():
+    """The paired-row Pallas sweep (two slabs per 128-lane row,
+    row-granular worklist) must agree with the XLA slab sweep: the
+    row coarsening only adds beyond-R_c pairs, whose taper weight is
+    exactly zero.  Covers the flush-runs and flushless bodies, an odd
+    slab count (even-pairing pad slab — the default pow2-sized plans
+    always produce one), and an even slab count (no pad)."""
+    full = _packed_sweep_inputs(seed=19)
+    prd = _packed_sweep_inputs(seed=19, paired=True)
+    ptab, mtab, rc2 = full[0], full[1], full[6]
+    assert (ptab.shape[1] // pm.SLAB) % 2 == 0  # even: no pad slab
+    a_xla = np.asarray(pm._sr_sweep(ptab, mtab, full[2], full[3],
+                                    full[4], rc2))
+    a_pr = np.asarray(pm._sr_sweep_pallas(ptab, mtab, prd[2], prd[3],
+                                          (0, prd[5]), rc2, chunk=128,
+                                          interpret=True, paired=True))
+    scale = np.abs(a_xla).max()
+    np.testing.assert_allclose(a_pr, a_xla, rtol=0, atol=2e-5 * scale)
+    a_nf = np.asarray(pm._sr_sweep_pallas(ptab, mtab, prd[2], prd[3],
+                                          (0, prd[5]), rc2, chunk=128,
+                                          interpret=True, paired=True,
+                                          flush_runs=False))
+    np.testing.assert_allclose(a_nf, a_xla, rtol=0, atol=2e-5 * scale)
+    # Odd slab count (sr_slabs=34 + sentinel = 35): the even-pairing
+    # pad slab is in play.
+    fo = _packed_sweep_inputs(seed=19, sr_slabs=34)
+    po = _packed_sweep_inputs(seed=19, sr_slabs=34, paired=True)
+    assert (fo[0].shape[1] // pm.SLAB) % 2 == 1
+    a_xla2 = np.asarray(pm._sr_sweep(fo[0], fo[1], fo[2], fo[3], fo[4],
+                                     fo[6]))
+    a_pr2 = np.asarray(pm._sr_sweep_pallas(fo[0], fo[1], po[2], po[3],
+                                           (0, po[5]), fo[6], chunk=128,
+                                           interpret=True, paired=True))
+    scale2 = np.abs(a_xla2).max()
+    np.testing.assert_allclose(a_pr2, a_xla2, rtol=0, atol=2e-5 * scale2)
+
+
+def test_sr_sweep_pallas_paired_bounds_split():
+    """Sharded-path contract for the paired sweep: disjoint entry
+    ranges must sum to the full sweep (each row entry lands in exactly
+    one range)."""
+    import jax.numpy as jnp
+
+    prd = _packed_sweep_inputs(n=1024, ng=32, seed=12, paired=True)
+    ptab, mtab, wl_t, wl_s, n_e, e_max, rc2 = prd
+    e_lim = int(n_e)
+    full = np.asarray(pm._sr_sweep_pallas(ptab, mtab, wl_t, wl_s,
+                                          (0, e_lim), rc2, chunk=128,
+                                          interpret=True, paired=True))
+    k = 4
+    per = -((-e_lim) // k)
+    parts = sum(
+        np.asarray(pm._sr_sweep_pallas(
+            ptab, mtab, wl_t, wl_s,
+            jnp.asarray([i * per, min((i + 1) * per, e_lim)], jnp.int32),
+            rc2, chunk=128, interpret=True, paired=True))
+        for i in range(k))
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(parts, full, rtol=1e-6, atol=2e-6 * scale)
+
+
+def test_sr_paired_knob_end_to_end():
+    """pm.SR_PAIRED_ROWS=True routes the FULL p3m solve through the
+    paired sweep (forced pallas, interpret off-TPU) and must agree with
+    the default; combined with SR_SYMMETRIC the paired layout silently
+    yields (unsupported combination), not crash."""
+    pos, _, mass = plummer(2048, seed=20)
+    kw = dict(grid=64, cutoff_cells=4)
+    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    assert pm.SR_PAIRED_ROWS is False
+    pm.SR_PAIRED_ROWS = True
+    pm.SR_SWEEP_IMPL = "pallas"
+    try:
+        a_pr = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+        pm.SR_SYMMETRIC = True
+        a_both = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    finally:
+        pm.SR_PAIRED_ROWS = False
+        pm.SR_SYMMETRIC = False
+        pm.SR_SWEEP_IMPL = "auto"
+    scale = np.abs(a_ref).max()
+    np.testing.assert_allclose(a_pr, a_ref, rtol=0, atol=2e-5 * scale)
+    np.testing.assert_allclose(a_both, a_ref, rtol=0, atol=3e-5 * scale)
+
+
+def test_sr_paired_sharded_matches_single():
+    """Sharded p3m with the paired sweep: per-shard entry ranges over
+    the ROW worklist + slot-table psum must reproduce the single-device
+    solve."""
+    from nbody_tpu.init import make_state
+    from nbody_tpu.models.gravity import make_accel_fn
+    from nbody_tpu.models.integrators import make_block_fn
+    from nbody_tpu.parallel.decompose import (
+        make_sharded_block_fn,
+        shard_state,
+    )
+
+    opts = dict(grid=32, capacity=64)
+    state = make_state(512, pad_multiple=8, distribution="plummer")
+    pm.SR_SWEEP_IMPL = "pallas"
+    pm.SR_PAIRED_ROWS = True
+    try:
+        ref_state, ref_ke = make_block_fn(
+            make_accel_fn("p3m", **opts), 0.01, 2)(state)
+        sharded, mesh = shard_state(state, 4)
+        blk = make_sharded_block_fn("p3m", opts, 0.01, 2, mesh,
+                                    comm="allgather")
+        out, ke = blk(sharded)
+    finally:
+        pm.SR_SWEEP_IMPL = "auto"
+        pm.SR_PAIRED_ROWS = False
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref_state.pos),
+                               rtol=2e-5, atol=1e-8)
+    assert abs(float(ke) - float(ref_ke)) <= 1e-5 * abs(float(ref_ke))
+
+
+def test_sr_paired_rejects_symmetric():
+    """The paired/symmetric combination is an explicit error at the
+    primitive level (callers are expected to pick one)."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(ValueError):
+        pm._sr_ranges(z, z, 2, 1, 4, symmetric=True, paired=True)
+    f = jnp.zeros((3, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        pm._sr_sweep_pallas(f, f[0], z, z, (0, 4),
+                            jnp.float32(1.0), symmetric=True, paired=True)
+
+
+def test_sr_paired_vmem_gate(monkeypatch):
+    """Paired tables cost half the VMEM: the auto-dispatch gate must
+    admit ~2x the slabs when paired."""
+    import jax
+
+    from nbody_tpu.utils import device_caps
+
+    monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    limit = device_caps.caps().vmem_limit_bytes
+    fits_plain = int(0.7 * limit) // (7 * 128 * 4)
+    assert pm._use_pallas_sweep(fits_plain + 1) is False
+    assert pm._use_pallas_sweep(fits_plain + 1, paired=True) is True
+    fits_pr = int(0.7 * limit) // (7 * pm.SLAB * 4)
+    assert pm._use_pallas_sweep(fits_pr + 1, paired=True) is False
 
 
 def test_sr_sweep_dispatch_vmem_gate(monkeypatch):
