@@ -207,8 +207,49 @@ def _fidelity(kernel: str) -> dict:
     }
 
 
+def _probe_backend(timeout_s: float) -> str | None:
+    """Fail FAST when the accelerator backend is unreachable, instead of
+    hanging forever on first device contact.
+
+    The default backend here is a real TPU behind a network tunnel that
+    has had multi-hour outages; ``jax.devices()`` blocks indefinitely
+    while it is down.  Probing in a SUBPROCESS (the hang is C-level gRPC
+    — in-process signals cannot interrupt it) bounds the wait, so the
+    driver gets an honest error artifact rather than a killed run.
+    Returns None when the backend answers (or when the process is
+    already pinned to CPU, e.g. under the test suite); an error string
+    otherwise."""
+    import os
+    import subprocess
+
+    if _configured_platforms().startswith("cpu"):
+        return None
+    if os.environ.get("NBODY_BENCH_SKIP_PROBE"):
+        return None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return (f"device probe timed out after {timeout_s:.0f}s "
+                "(accelerator tunnel down?)")
+    if r.returncode != 0:
+        return "device probe failed: " + r.stderr.strip()[-200:]
+    return None
+
+
+def _configured_platforms() -> str:
+    """The configured jax platform list WITHOUT initializing backends."""
+    import jax
+
+    return str(getattr(jax.config, "jax_platforms", "") or "")
+
+
 def main() -> int:
     import argparse
+    import os
 
     from nbody_tpu.__main__ import _enable_compilation_cache
 
@@ -232,6 +273,21 @@ def main() -> int:
 
     from nbody_tpu.config import SimConfig
     from nbody_tpu.utils.flops import pairs_per_step, step_gflops
+
+    err = _probe_backend(
+        float(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "600")))
+    if err:
+        # Driver contract: still exactly ONE JSON line, zero-valued with
+        # the failure recorded, and a nonzero exit.
+        print(json.dumps({
+            "metric": "sustained GFLOP/s (reference flop model, N=%d)"
+            % args.n,
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "error": err,
+        }))
+        return 1
 
     if args.suite:
         return _suite(args.kernel)

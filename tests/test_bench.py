@@ -37,6 +37,45 @@ def test_force_chunked_decided_by_longer_run():
         SimConfig(n=2000, nsteps=500, fused=True), 10**9) is False
 
 
+def test_probe_backend_fail_fast(monkeypatch):
+    """bench.py must not hang forever when the accelerator tunnel is
+    down at bench time: CPU-pinned processes skip the probe entirely
+    (this suite), a timed-out subprocess probe becomes an error string
+    (-> zero-valued JSON artifact + exit 1), and a healthy probe passes."""
+    import subprocess
+
+    # conftest pins jax_platforms=cpu -> probe skipped without subprocess
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not run on cpu")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert bench._probe_backend(0.01) is None
+
+    monkeypatch.setattr(bench, "_configured_platforms", lambda: "axon,cpu")
+
+    def timeout_run(cmd, timeout, **k):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", timeout_run)
+    err = bench._probe_backend(0.01)
+    assert err and "timed out" in err
+
+    class _Ok:
+        returncode = 0
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Ok())
+    assert bench._probe_backend(0.01) is None
+
+    class _Bad:
+        returncode = 1
+        stderr = "RPC unavailable"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Bad())
+    err = bench._probe_backend(0.01)
+    assert err and "RPC unavailable" in err
+
+
 def test_timed_steps_honors_force_chunked():
     """force_chunked=True must route even a tiny run through the
     host-chunked block builder (both halves share the machinery)."""
