@@ -382,9 +382,10 @@ SR_SYMMETRIC = False
 # source slabs at once — every lane does real work, table VMEM halves
 # (lifting the Pallas tier's N cap ~2x), and the worklist shrinks to
 # row granularity (~half the entries).  Costs a parity select per
-# target change.  Off until the hardware A/B
-# (scripts/exp_sr_pallas.py pl-paired row); overridden off while
-# SR_SYMMETRIC is on (unsupported combination).
+# target change.  Composes with SR_SYMMETRIC (per-lane slab masks
+# replace the per-slab diagonal/clip logic — ~27% of the plain
+# entries at full lane fill).  Off until the hardware A/B
+# (scripts/exp_sr_pallas.py pl-paired / pl-pair-sym rows).
 SR_PAIRED_ROWS = False
 
 
@@ -490,9 +491,15 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     slab-level union, which is beyond-R_c by the window-covers-reach
     construction — exactly zero taper weight, so values are unchanged.
     Entry count never exceeds the slab-level count (a row interval is
-    at most as long as its slab interval).  Mutually exclusive with
-    ``symmetric`` (the per-slab diagonal/reaction logic does not
-    translate to two-slab source rows).
+    at most as long as its slab interval).
+
+    ``symmetric`` composes with ``paired``: the slab intervals are
+    clipped at t first, then coarsened, so the boundary row of a
+    clipped interval can contain the sub-t slab t-1 — pairs the
+    symmetric worklist already assigns to target t-1.  The paired
+    symmetric SWEEP therefore masks per-lane by slab (forward keeps
+    lanes with slab >= t, the reaction keeps slab > t); see
+    _sr_sweep_pallas.
 
     ``symmetric=True`` keeps only entries with s >= t (each unordered
     slab pair once, plus the diagonal): every within-cutoff pair is
@@ -527,8 +534,6 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     are laid out t-major, so each target slab's entries form one
     contiguous run — the Pallas sweep's flush-on-target-change
     accumulator depends on this."""
-    if symmetric and paired:
-        raise ValueError("paired rows do not support the symmetric sweep")
     i32 = jnp.int32
     s_max = slab_lo.shape[0]
     n_cells = nc * nc * nc
@@ -732,6 +737,15 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
     (beyond-n_e entries never run; capacity-overflow slots are
     where()'d out by the caller) is zeroed for parity with _sr_sweep.
 
+    EMPTY-SLOT CONTRACT (both sweeps): slots not backed by a binned
+    particle sit at position (0,0,0) with zero mass — zero mass keeps
+    them out of every real particle's force, but as TARGETS (or
+    reaction recipients) they can accumulate finite garbage, because
+    the beyond-window => beyond-R_c => zero-taper guarantee only holds
+    for positions inside their cells.  Callers must only gather slots
+    named by a real particle's pslot (accelerations_between does);
+    different sweep variants produce DIFFERENT empty-slot garbage.
+
     ``paired=True`` (SR_PAIRED_ROWS): two consecutive slabs share one
     (2*SLAB)-lane table row — the reshape is free because _sr_pack's
     slot order is slab-major — and ``wl_s`` must hold ROW indices
@@ -740,15 +754,20 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
     the 64->128 pad, table VMEM halves, and entries roughly halve.
     Targets are still single slabs (wl_t unchanged): the column
     relayout and the flush RMW select the target's half-row by parity
-    (one lax.cond per target change).  Not combinable with
-    ``symmetric`` (per-slab diagonal/reaction logic)."""
+    (one lax.cond per target change).
+
+    ``paired`` composes with ``symmetric``: the per-slab diagonal skip
+    and sub-t clipping become per-LANE masks by the lane's slab id
+    (2s + lane//SLAB) — the forward weight keeps slab >= t (the
+    coarsened boundary row can hold the sub-t slab t-1, whose pairs
+    belong to target t-1's own entry), the reaction keeps slab > t
+    (a (t, t) diagonal block already holds both directions).  Two
+    compares + multiplies per block, no extra control flow."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..utils import device_caps
 
-    if paired and symmetric:
-        raise ValueError("paired rows do not support the symmetric sweep")
     f32 = jnp.float32
     i32 = jnp.int32
     nslots = ptab.shape[1]
@@ -815,14 +834,14 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             cols = (jnp.transpose(x_ref[ts, :]),  # (width, 1)
                     jnp.transpose(y_ref[ts, :]),
                     jnp.transpose(z_ref[ts, :]))
+            if symmetric:
+                cols += (jnp.transpose(m_ref[ts, :]),)
             if paired:
                 # The target slab is one half of its paired row.
                 cols = jax.lax.cond(
                     t % 2 == 0,
                     lambda: tuple(c[:SLAB] for c in cols),
                     lambda: tuple(c[SLAB:] for c in cols))
-            if symmetric:
-                cols += (jnp.transpose(m_ref[ts, :]),)
             return cols
 
         def pair_terms(t, s, cols):
@@ -836,21 +855,39 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             r2 = dx * dx + dy * dy + dz * dz
             u = jax.lax.rsqrt(r2 + eps2)
             w0 = (f32(1.0) - _taper(r2 / rc2v)) * (u * u * u)
+            if symmetric and paired:
+                # Per-lane slab id: the coarsened boundary row of a
+                # clipped interval can hold the sub-t slab t-1 — its
+                # pairs belong to target t-1's own entry (forward mask
+                # slab >= t); the reaction skips the diagonal slab
+                # (slab > t: a (t,t) block holds both directions).
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, width), 1)
+                lane_slab = 2 * s + (lane >= SLAB).astype(jnp.int32)
+                w0 = w0 * (lane_slab >= t).astype(f32)
+                react_w = (lane_slab > t).astype(f32)
             bx, by, bz = w0 * dx, w0 * dy, w0 * dz
             if symmetric:
                 # Reaction on the source slab: -sum_t m_t * b (sublane
                 # reduce, row RMW); diagonal blocks hold both
                 # directions already.
                 mt = cols[3]
-
-                @pl.when(s != t)
-                def _react():
-                    ox_ref[ss, :] -= jnp.sum(mt * bx, axis=0,
+                if paired:
+                    ox_ref[ss, :] -= jnp.sum(mt * bx * react_w, axis=0,
                                              keepdims=True)
-                    oy_ref[ss, :] -= jnp.sum(mt * by, axis=0,
+                    oy_ref[ss, :] -= jnp.sum(mt * by * react_w, axis=0,
                                              keepdims=True)
-                    oz_ref[ss, :] -= jnp.sum(mt * bz, axis=0,
+                    oz_ref[ss, :] -= jnp.sum(mt * bz * react_w, axis=0,
                                              keepdims=True)
+                else:
+                    @pl.when(s != t)
+                    def _react():
+                        ox_ref[ss, :] -= jnp.sum(mt * bx, axis=0,
+                                                 keepdims=True)
+                        oy_ref[ss, :] -= jnp.sum(mt * by, axis=0,
+                                                 keepdims=True)
+                        oz_ref[ss, :] -= jnp.sum(mt * bz, axis=0,
+                                                 keepdims=True)
             ms = m_ref[ss, :]
             return ms * bx, ms * by, ms * bz
 
@@ -1162,10 +1199,10 @@ def accelerations_between(
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         sym = SR_SYMMETRIC
-        want_pr = SR_PAIRED_ROWS and not sym
-        use_pl = (_use_pallas_sweep(ptab.shape[1] // SLAB, paired=want_pr)
+        use_pl = (_use_pallas_sweep(ptab.shape[1] // SLAB,
+                                    paired=SR_PAIRED_ROWS)
                   and not differentiable)
-        pr = want_pr and use_pl  # XLA sweep stays slab-granular
+        pr = SR_PAIRED_ROWS and use_pl  # XLA sweep stays slab-granular
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
                                      symmetric=sym, paired=pr)
         if use_pl:
@@ -1356,9 +1393,9 @@ def sharded_accelerations(
         # from their slots (entries are uniform work units, so the
         # entry-range split load-balances regardless of clustering).
         sym = SR_SYMMETRIC
-        want_pr = SR_PAIRED_ROWS and not sym
-        use_pl = _use_pallas_sweep(ptab.shape[1] // SLAB, paired=want_pr)
-        pr = want_pr and use_pl
+        use_pl = _use_pallas_sweep(ptab.shape[1] // SLAB,
+                                   paired=SR_PAIRED_ROWS)
+        pr = SR_PAIRED_ROWS and use_pl
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
                                      symmetric=sym, paired=pr)
         k_sh = lax.axis_size(axis)

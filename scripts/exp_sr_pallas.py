@@ -229,6 +229,16 @@ def main():
             print(f"{dist:>10} {n:>8} {'sweep/pl-paired':>14} "
                   f"{t*1e3:>9.2f}  {gpp/t/1e9:.1f} Gpairs/s "
                   f"(entries {int(pkp['n_e'])} vs {e_meas})", flush=True)
+            # Paired + symmetric: ~27% of the plain entries at full
+            # lane fill, per-lane slab masks + per-entry reaction.
+            pkb = _pack(state.pos, state.mass, args.ng, cutoff,
+                        symmetric=True, paired=True)
+            t = time_isolated(pkb, "pallas", reps, symmetric=True,
+                              paired=True)
+            gpb = int(pkb["n_e"]) * pm.SLAB * (2 * pm.SLAB)
+            print(f"{dist:>10} {n:>8} {'sweep/pl-pair-sym':>14} "
+                  f"{t*1e3:>9.2f}  {gpb/t/1e9:.1f} Gpairs/s "
+                  f"(entries {int(pkb['n_e'])} vs {e_meas})", flush=True)
             if not args.skip_full:
                 t = time_full(state.pos, state.mass, args.ng,
                               pk["plan"], "pallas", reps, paired=True)

@@ -201,6 +201,16 @@ def _packed_sweep_inputs(n=2048, ng=64, cutoff=4, seed=11,
             pk["e_max"], pk["rc2"])
 
 
+def _occupied(mtab):
+    """Columns backed by a binned particle.  Empty slots sit at (0,0,0)
+    with zero mass: harmless to every real force, but as targets or
+    reaction recipients they accumulate variant-specific garbage (the
+    beyond-window => zero-taper guarantee only holds inside cells), and
+    the solver never gathers them — so table comparisons must not
+    either (pm._sr_sweep_pallas docstring, EMPTY-SLOT CONTRACT)."""
+    return np.asarray(mtab) > 0
+
+
 def test_sr_sweep_pallas_matches_xla():
     """The Pallas short-range sweep (VMEM-resident row tables, SMEM
     worklist chunks, flush-on-target-change accumulator) must agree with
@@ -210,10 +220,12 @@ def test_sr_sweep_pallas_matches_xla():
     import numpy as np
 
     ptab, mtab, wl_t, wl_s, n_e, e_max, rc2 = _packed_sweep_inputs()
-    a_xla = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2))
+    occ = _occupied(mtab)
+    a_xla = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e,
+                                    rc2))[:, occ]
     a_pl = np.asarray(pm._sr_sweep_pallas(ptab, mtab, wl_t, wl_s,
                                           (0, e_max), rc2, chunk=128,
-                                          interpret=True))
+                                          interpret=True))[:, occ]
     assert a_pl.shape == a_xla.shape
     scale = np.abs(a_xla).max()
     np.testing.assert_allclose(a_pl, a_xla, rtol=0, atol=2e-5 * scale)
@@ -222,7 +234,7 @@ def test_sr_sweep_pallas_matches_xla():
     a_nf = np.asarray(pm._sr_sweep_pallas(ptab, mtab, wl_t, wl_s,
                                           (0, e_max), rc2, chunk=128,
                                           interpret=True,
-                                          flush_runs=False))
+                                          flush_runs=False))[:, occ]
     np.testing.assert_allclose(a_nf, a_xla, rtol=0, atol=2e-5 * scale)
 
 
@@ -374,15 +386,17 @@ def test_sr_sweep_symmetric_matches_full():
     sym = _packed_sweep_inputs(seed=16, symmetric=True)
     ptab, mtab, wl_t, wl_s, n_e, e_max, rc2 = full
     _, _, wt_s, ws_s, ne_s, _, _ = sym
+    occ = _occupied(mtab)
     assert int(ne_s) < int(n_e)  # genuinely fewer entries
-    a_full = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2))
+    a_full = np.asarray(pm._sr_sweep(ptab, mtab, wl_t, wl_s, n_e,
+                                     rc2))[:, occ]
     a_sym = np.asarray(pm._sr_sweep(ptab, mtab, wt_s, ws_s, ne_s, rc2,
-                                    symmetric=True))
+                                    symmetric=True))[:, occ]
     scale = np.abs(a_full).max()
     np.testing.assert_allclose(a_sym, a_full, rtol=0, atol=2e-5 * scale)
     a_sym_pl = np.asarray(pm._sr_sweep_pallas(
         ptab, mtab, wt_s, ws_s, (0, e_max), rc2, chunk=128,
-        interpret=True, symmetric=True))
+        interpret=True, symmetric=True))[:, occ]
     np.testing.assert_allclose(a_sym_pl, a_full, rtol=0,
                                atol=2e-5 * scale)
 
@@ -442,29 +456,33 @@ def test_sr_sweep_pallas_paired_matches_xla():
     full = _packed_sweep_inputs(seed=19)
     prd = _packed_sweep_inputs(seed=19, paired=True)
     ptab, mtab, rc2 = full[0], full[1], full[6]
+    occ = _occupied(mtab)
     assert (ptab.shape[1] // pm.SLAB) % 2 == 0  # even: no pad slab
     a_xla = np.asarray(pm._sr_sweep(ptab, mtab, full[2], full[3],
-                                    full[4], rc2))
+                                    full[4], rc2))[:, occ]
     a_pr = np.asarray(pm._sr_sweep_pallas(ptab, mtab, prd[2], prd[3],
                                           (0, prd[5]), rc2, chunk=128,
-                                          interpret=True, paired=True))
+                                          interpret=True,
+                                          paired=True))[:, occ]
     scale = np.abs(a_xla).max()
     np.testing.assert_allclose(a_pr, a_xla, rtol=0, atol=2e-5 * scale)
     a_nf = np.asarray(pm._sr_sweep_pallas(ptab, mtab, prd[2], prd[3],
                                           (0, prd[5]), rc2, chunk=128,
                                           interpret=True, paired=True,
-                                          flush_runs=False))
+                                          flush_runs=False))[:, occ]
     np.testing.assert_allclose(a_nf, a_xla, rtol=0, atol=2e-5 * scale)
     # Odd slab count (sr_slabs=34 + sentinel = 35): the even-pairing
     # pad slab is in play.
     fo = _packed_sweep_inputs(seed=19, sr_slabs=34)
     po = _packed_sweep_inputs(seed=19, sr_slabs=34, paired=True)
+    occ2 = _occupied(fo[1])
     assert (fo[0].shape[1] // pm.SLAB) % 2 == 1
     a_xla2 = np.asarray(pm._sr_sweep(fo[0], fo[1], fo[2], fo[3], fo[4],
-                                     fo[6]))
+                                     fo[6]))[:, occ2]
     a_pr2 = np.asarray(pm._sr_sweep_pallas(fo[0], fo[1], po[2], po[3],
                                            (0, po[5]), fo[6], chunk=128,
-                                           interpret=True, paired=True))
+                                           interpret=True,
+                                           paired=True))[:, occ2]
     scale2 = np.abs(a_xla2).max()
     np.testing.assert_allclose(a_pr2, a_xla2, rtol=0, atol=2e-5 * scale2)
 
@@ -496,8 +514,8 @@ def test_sr_sweep_pallas_paired_bounds_split():
 def test_sr_paired_knob_end_to_end():
     """pm.SR_PAIRED_ROWS=True routes the FULL p3m solve through the
     paired sweep (forced pallas, interpret off-TPU) and must agree with
-    the default; combined with SR_SYMMETRIC the paired layout silently
-    yields (unsupported combination), not crash."""
+    the default; combined with SR_SYMMETRIC both engage (paired
+    symmetric worklist + per-lane masks) and must still agree."""
     pos, _, mass = plummer(2048, seed=20)
     kw = dict(grid=64, cutoff_cells=4)
     plan = pm.suggest_sr_plan(pos, mass, 64, 4)
@@ -550,18 +568,34 @@ def test_sr_paired_sharded_matches_single():
     assert abs(float(ke) - float(ref_ke)) <= 1e-5 * abs(float(ref_ke))
 
 
-def test_sr_paired_rejects_symmetric():
-    """The paired/symmetric combination is an explicit error at the
-    primitive level (callers are expected to pick one)."""
-    import jax.numpy as jnp
-
-    z = jnp.zeros((4,), jnp.int32)
-    with pytest.raises(ValueError):
-        pm._sr_ranges(z, z, 2, 1, 4, symmetric=True, paired=True)
-    f = jnp.zeros((3, 128), jnp.float32)
-    with pytest.raises(ValueError):
-        pm._sr_sweep_pallas(f, f[0], z, z, (0, 4),
-                            jnp.float32(1.0), symmetric=True, paired=True)
+def test_sr_sweep_paired_symmetric_matches_full():
+    """paired + symmetric compose: the s>=t-clipped worklist coarsened
+    to rows, with per-lane slab masks replacing the per-slab
+    diagonal/clip logic (forward keeps slab >= t, reaction keeps
+    slab > t).  Must reproduce the full both-directions sweep; entries
+    must undercut BOTH single-knob variants."""
+    full = _packed_sweep_inputs(seed=21)
+    sym = _packed_sweep_inputs(seed=21, symmetric=True)
+    prd = _packed_sweep_inputs(seed=21, paired=True)
+    both = _packed_sweep_inputs(seed=21, symmetric=True, paired=True)
+    ptab, mtab, rc2 = full[0], full[1], full[6]
+    occ = _occupied(mtab)
+    assert int(both[4]) <= int(sym[4])
+    assert int(both[4]) <= int(prd[4])
+    a_full = np.asarray(pm._sr_sweep(ptab, mtab, full[2], full[3],
+                                     full[4], rc2))[:, occ]
+    a_ps = np.asarray(pm._sr_sweep_pallas(ptab, mtab, both[2], both[3],
+                                          (0, both[5]), rc2, chunk=128,
+                                          interpret=True, paired=True,
+                                          symmetric=True))[:, occ]
+    scale = np.abs(a_full).max()
+    np.testing.assert_allclose(a_ps, a_full, rtol=0, atol=3e-5 * scale)
+    a_nf = np.asarray(pm._sr_sweep_pallas(ptab, mtab, both[2], both[3],
+                                          (0, both[5]), rc2, chunk=128,
+                                          interpret=True, paired=True,
+                                          symmetric=True,
+                                          flush_runs=False))[:, occ]
+    np.testing.assert_allclose(a_nf, a_full, rtol=0, atol=3e-5 * scale)
 
 
 def test_sr_paired_vmem_gate(monkeypatch):
