@@ -66,6 +66,20 @@ finally:
 d = float(np.abs(a_p - a_x).max() / np.abs(a_x).max())
 assert d < 5e-5, f"pallas/xla sweep disagreement: {d}"
 print(f"   p3m pallas sweep agrees with xla ({d:.1e})")
+# Layout variants must also survive their FIRST Mosaic compile and
+# agree: paired rows (parity conds + half-row RMW) and paired+symmetric
+# (per-lane slab masks + reaction).  See pm.SR_PAIRED_ROWS/SR_SYMMETRIC.
+for pr, sym, name in ((True, False, "paired"), (True, True, "pair-sym"),
+                      (False, True, "sym")):
+    pm.SR_PAIRED_ROWS, pm.SR_SYMMETRIC = pr, sym
+    try:
+        a_v = np.asarray(jax.jit(
+            lambda p, m: pm.accelerations(p, m, **kw))(pos, mass))
+    finally:
+        pm.SR_PAIRED_ROWS, pm.SR_SYMMETRIC = False, False
+    d = float(np.abs(a_v - a_x).max() / np.abs(a_x).max())
+    assert d < 5e-5, f"{name} sweep disagreement: {d}"
+    print(f"   p3m {name} sweep agrees with xla ({d:.1e})")
 PY
 bench_json="$(python bench.py 2>/dev/null | tail -1)"
 echo "$bench_json"
