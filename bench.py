@@ -236,7 +236,9 @@ def _probe_backend(timeout_s: float) -> str | None:
         return (f"device probe timed out after {timeout_s:.0f}s "
                 "(accelerator tunnel down?)")
     if r.returncode != 0:
-        return "device probe failed: " + r.stderr.strip()[-200:]
+        detail = (r.stderr.strip() or r.stdout.strip())[-200:]
+        return (f"device probe failed (exit {r.returncode}): "
+                f"{detail or 'no output'}")
     return None
 
 

@@ -381,8 +381,8 @@ SR_SYMMETRIC = False
 # lane-pads to (64, 128) become FULL (64, 128) blocks against two
 # source slabs at once — every lane does real work, table VMEM halves
 # (lifting the Pallas tier's N cap ~2x), and the worklist shrinks to
-# row granularity (~half the entries).  Costs a parity select per
-# target change.  Composes with SR_SYMMETRIC (per-lane slab masks
+# row granularity (~half the entries).  Costs a branchless parity
+# blend per target change.  Composes with SR_SYMMETRIC (per-lane slab masks
 # replace the per-slab diagonal/clip logic — ~27% of the plain
 # entries at full lane fill).  Off until the hardware A/B
 # (scripts/exp_sr_pallas.py pl-paired / pl-pair-sym rows).
@@ -753,8 +753,9 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
     every VPU lane does real work instead of half of them idling in
     the 64->128 pad, table VMEM halves, and entries roughly halve.
     Targets are still single slabs (wl_t unchanged): the column
-    relayout and the flush RMW select the target's half-row by parity
-    (one lax.cond per target change).
+    relayout and the flush RMW select the target's half-row by a
+    BRANCHLESS parity blend (no lax.cond — the flushless fallback must
+    stay free of cond-carried vector state).
 
     ``paired`` composes with ``symmetric``: the per-slab diagonal skip
     and sub-t clipping become per-LANE masks by the lane's slab id
@@ -808,22 +809,25 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
         rc2v = rc2_ref[0, 0]
         zero = jnp.zeros((SLAB, width), f32)
 
+        def par_f32(t):
+            """Slab parity of target t as an f32 scalar (0. or 1.) —
+            the BRANCHLESS half-row select factor (no lax.cond: the
+            flushless body must stay free of cond-carried vector
+            state, and a blend is cheap either way)."""
+            return (t % 2).astype(f32)
+
         def flush(t, ax, ay, az):
             vx = jnp.transpose(jnp.sum(ax, axis=1, keepdims=True))
             vy = jnp.transpose(jnp.sum(ay, axis=1, keepdims=True))
             vz = jnp.transpose(jnp.sum(az, axis=1, keepdims=True))
             if paired:
                 # Place the (1, SLAB) target sums into the target's
-                # half of its paired row by slab parity.
-                z = jnp.zeros((1, SLAB), f32)
-                vx, vy, vz = jax.lax.cond(
-                    t % 2 == 0,
-                    lambda: (jnp.concatenate([vx, z], axis=1),
-                             jnp.concatenate([vy, z], axis=1),
-                             jnp.concatenate([vz, z], axis=1)),
-                    lambda: (jnp.concatenate([z, vx], axis=1),
-                             jnp.concatenate([z, vy], axis=1),
-                             jnp.concatenate([z, vz], axis=1)))
+                # half of its paired row by slab parity (branchless:
+                # the other half gets exact zeros).
+                p = par_f32(t)
+                vx = jnp.concatenate([vx * (1 - p), vx * p], axis=1)
+                vy = jnp.concatenate([vy * (1 - p), vy * p], axis=1)
+                vz = jnp.concatenate([vz * (1 - p), vz * p], axis=1)
             ts = pl.ds(t // 2 if paired else t, 1)
             ox_ref[ts, :] += vx
             oy_ref[ts, :] += vy
@@ -837,11 +841,11 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
             if symmetric:
                 cols += (jnp.transpose(m_ref[ts, :]),)
             if paired:
-                # The target slab is one half of its paired row.
-                cols = jax.lax.cond(
-                    t % 2 == 0,
-                    lambda: tuple(c[:SLAB] for c in cols),
-                    lambda: tuple(c[SLAB:] for c in cols))
+                # The target slab is one half of its paired row —
+                # branchless parity blend of the two static halves.
+                p = par_f32(t)
+                cols = tuple(c[:SLAB] * (1 - p) + c[SLAB:] * p
+                             for c in cols)
             return cols
 
         def pair_terms(t, s, cols):

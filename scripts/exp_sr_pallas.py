@@ -187,7 +187,7 @@ def main():
         sizes = [65536] if args.quick else [65536, 262144, 1048576]
     cutoff = pm.DEFAULT_CUTOFF_CELLS
 
-    print(f"{'dist':>10} {'N':>8} {'what':>14} {'ms':>9}  note")
+    print(f"{'dist':>10} {'N':>8} {'what':>17} {'ms':>9}  note")
     for dist in ("reference", "plummer"):
         for n in sizes:
             state = make_state(n, pad_multiple=1024, distribution=dist,
@@ -199,7 +199,7 @@ def main():
             reps = 2 if args.quick else 4
             for impl in ("xla", "pallas"):
                 t = time_isolated(pk, impl, reps)
-                print(f"{dist:>10} {n:>8} {'sweep/'+impl:>14} "
+                print(f"{dist:>10} {n:>8} {'sweep/'+impl:>17} "
                       f"{t*1e3:>9.2f}  {gp/t/1e9:.1f} Gpairs/s"
                       + (f", agree {err:.1e}" if impl == "pallas" else ""),
                       flush=True)
@@ -207,17 +207,17 @@ def main():
                 for impl in ("xla", "pallas"):
                     t = time_full(state.pos, state.mass, args.ng,
                                   pk["plan"], impl, reps)
-                    print(f"{dist:>10} {n:>8} {'p3m/'+impl:>14} "
+                    print(f"{dist:>10} {n:>8} {'p3m/'+impl:>17} "
                           f"{t*1e3:>9.2f}", flush=True)
             t = time_isolated(pk, "pallas", reps, flush_runs=False)
-            print(f"{dist:>10} {n:>8} {'sweep/pl-noflu':>14} "
+            print(f"{dist:>10} {n:>8} {'sweep/pl-noflu':>17} "
                   f"{t*1e3:>9.2f}  {gp/t/1e9:.1f} Gpairs/s", flush=True)
             # Pair-symmetric worklist (s >= t) + per-entry reaction.
             pks = _pack(state.pos, state.mass, args.ng, cutoff,
                         symmetric=True)
             t = time_isolated(pks, "pallas", reps, symmetric=True)
             gps = int(pks["n_e"]) * pm.SLAB * pm.SLAB
-            print(f"{dist:>10} {n:>8} {'sweep/pl-sym':>14} "
+            print(f"{dist:>10} {n:>8} {'sweep/pl-sym':>17} "
                   f"{t*1e3:>9.2f}  {gps/t/1e9:.1f} Gpairs/s "
                   f"(entries {int(pks['n_e'])} vs {e_meas})", flush=True)
             # Paired rows: two slabs per 128-lane row — full lane
@@ -226,7 +226,7 @@ def main():
                         paired=True)
             t = time_isolated(pkp, "pallas", reps, paired=True)
             gpp = int(pkp["n_e"]) * pm.SLAB * (2 * pm.SLAB)
-            print(f"{dist:>10} {n:>8} {'sweep/pl-paired':>14} "
+            print(f"{dist:>10} {n:>8} {'sweep/pl-paired':>17} "
                   f"{t*1e3:>9.2f}  {gpp/t/1e9:.1f} Gpairs/s "
                   f"(entries {int(pkp['n_e'])} vs {e_meas})", flush=True)
             # Paired + symmetric: ~27% of the plain entries at full
@@ -236,13 +236,13 @@ def main():
             t = time_isolated(pkb, "pallas", reps, symmetric=True,
                               paired=True)
             gpb = int(pkb["n_e"]) * pm.SLAB * (2 * pm.SLAB)
-            print(f"{dist:>10} {n:>8} {'sweep/pl-pair-sym':>14} "
+            print(f"{dist:>10} {n:>8} {'sweep/pl-pair-sym':>17} "
                   f"{t*1e3:>9.2f}  {gpb/t/1e9:.1f} Gpairs/s "
                   f"(entries {int(pkb['n_e'])} vs {e_meas})", flush=True)
             if not args.skip_full:
                 t = time_full(state.pos, state.mass, args.ng,
                               pk["plan"], "pallas", reps, paired=True)
-                print(f"{dist:>10} {n:>8} {'p3m/pl-paired':>14} "
+                print(f"{dist:>10} {n:>8} {'p3m/pl-paired':>17} "
                       f"{t*1e3:>9.2f}", flush=True)
             if not args.skip_slab:
                 old = pm.SLAB
@@ -251,7 +251,7 @@ def main():
                     pk2 = _pack(state.pos, state.mass, args.ng, cutoff)
                     gp2 = int(pk2["n_e"]) * pm.SLAB * pm.SLAB
                     t = time_isolated(pk2, "pallas", reps)
-                    print(f"{dist:>10} {n:>8} {'sweep/pl-128':>14} "
+                    print(f"{dist:>10} {n:>8} {'sweep/pl-128':>17} "
                           f"{t*1e3:>9.2f}  {gp2/t/1e9:.1f} Gpairs/s "
                           f"(entries {int(pk2['n_e'])} vs {e_meas})",
                           flush=True)

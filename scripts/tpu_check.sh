@@ -81,6 +81,9 @@ for pr, sym, name in ((True, False, "paired"), (True, True, "pair-sym"),
     assert d < 5e-5, f"{name} sweep disagreement: {d}"
     print(f"   p3m {name} sweep agrees with xla ({d:.1e})")
 PY
+# The parity runs above already proved the device reachable — skip
+# bench.py's subprocess probe (a duplicate backend handshake) here.
+export NBODY_BENCH_SKIP_PROBE=1
 bench_json="$(python bench.py 2>/dev/null | tail -1)"
 echo "$bench_json"
 python - "$bench_json" <<'PY'
