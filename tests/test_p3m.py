@@ -598,6 +598,50 @@ def test_sr_sweep_paired_symmetric_matches_full():
     np.testing.assert_allclose(a_nf, a_full, rtol=0, atol=3e-5 * scale)
 
 
+@pytest.mark.parametrize("dist,n,ng,seed", [
+    ("plummer", 1024, 32, 3),
+    ("plummer", 3072, 64, 4),       # non-power-of-two N
+    ("cold_sphere", 2048, 32, 5),   # collapsing shell
+    ("uniform", 2048, 32, 6),       # near-empty cell list tails
+])
+def test_sr_sweep_variants_fuzz(dist, n, ng, seed):
+    """Every sweep variant (pallas plain/sym/paired/pair-sym, flush and
+    flushless) against the XLA slab sweep over a spread of
+    distributions, sizes, and grids — occupied slots only (EMPTY-SLOT
+    CONTRACT)."""
+    rng = np.random.default_rng(seed)
+    if dist == "plummer":
+        pos, _, mass = plummer(n, seed=seed)
+    elif dist == "cold_sphere":
+        pos, _, mass = cold_sphere(n, seed=seed)
+    else:
+        pos = rng.random((3, n)).astype(np.float32)
+        mass = rng.random(n).astype(np.float32) * 1e5
+    cap = pm.suggest_capacity(pos, mass, ng, 4)
+
+    def pack(**kw):
+        return pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=4,
+                                 capacity=cap, **kw)
+
+    full = pack()
+    occ = _occupied(full["mtab"])
+    a_ref = np.asarray(pm._sr_sweep(
+        full["ptab"], full["mtab"], full["wl_t"], full["wl_s"],
+        full["n_e"], full["rc2"]))[:, occ]
+    scale = max(np.abs(a_ref).max(), 1e-30)
+    for sym, prd in ((False, False), (True, False), (False, True),
+                     (True, True)):
+        pk = pack(symmetric=sym, paired=prd)
+        for fr in (True, False):
+            a = np.asarray(pm._sr_sweep_pallas(
+                full["ptab"], full["mtab"], pk["wl_t"], pk["wl_s"],
+                (0, pk["e_max"]), pk["rc2"], chunk=128, interpret=True,
+                symmetric=sym, paired=prd, flush_runs=fr))[:, occ]
+            np.testing.assert_allclose(
+                a, a_ref, rtol=0, atol=4e-5 * scale,
+                err_msg=f"sym={sym} paired={prd} flush={fr}")
+
+
 def test_sr_paired_vmem_gate(monkeypatch):
     """Paired tables cost half the VMEM: the auto-dispatch gate must
     admit ~2x the slabs when paired."""
