@@ -975,6 +975,56 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
     return atab.at[:, nslots - SLAB:].set(f32(0))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _sr_sweep_pallas_ad(ptab, mtab, wl_t, wl_s, n_e, rc2, opts):
+    """The Pallas sweep with a reverse-mode rule: Pallas PRIMAL (the
+    traced-bound fori_loop kernel cannot be reverse-differentiated),
+    XLA static-bound sweep COTANGENT (``_sr_sweep(static_bound=True)``
+    lowers to scan, which AD crosses).  Both run the same slab-granular
+    worklist and pair math, so the cotangent is that of a function
+    whose real-slot values match the primal to summation order (and
+    empty-slot cotangents are zero by the caller's gather — see the
+    EMPTY-SLOT CONTRACT).  This is what lets ``differentiable=True``
+    keep production sweep speed on TPU instead of falling back to the
+    HBM-streaming XLA primal.  ``opts`` = (chunk, interpret, symmetric,
+    flush_runs) — static.  Paired rows are NOT used here (the backward
+    sweep is slab-granular; the solver passes paired=False when
+    differentiating)."""
+    chunk, interpret, symmetric, flush_runs = opts
+    e_max = wl_t.shape[0]
+    return _sr_sweep_pallas(
+        ptab, mtab, wl_t, wl_s,
+        (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
+        chunk=chunk, interpret=interpret, symmetric=symmetric,
+        flush_runs=flush_runs)
+
+
+def _sr_ad_fwd(ptab, mtab, wl_t, wl_s, n_e, rc2, opts):
+    out = _sr_sweep_pallas_ad(ptab, mtab, wl_t, wl_s, n_e, rc2, opts)
+    return out, (ptab, mtab, wl_t, wl_s, n_e, rc2)
+
+
+def _sr_ad_bwd(opts, res, g):
+    import numpy as _np
+
+    _, _, symmetric, _ = opts
+    ptab, mtab, wl_t, wl_s, n_e, rc2 = res
+    _, vjp = jax.vjp(
+        lambda p, m, r: _sr_sweep(p, m, wl_t, wl_s, n_e, r,
+                                  static_bound=True,
+                                  symmetric=symmetric),
+        ptab, mtab, rc2)
+    gp, gm, gr = vjp(g)
+
+    def f0(a):  # integer args carry float0 cotangents
+        return _np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    return gp, gm, f0(wl_t), f0(wl_s), f0(n_e), gr
+
+
+_sr_sweep_pallas_ad.defvjp(_sr_ad_fwd, _sr_ad_bwd)
+
+
 def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
     """Static bounds when the caller provides no measured plan.
 
@@ -1203,18 +1253,26 @@ def accelerations_between(
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         sym = SR_SYMMETRIC
-        use_pl = (_use_pallas_sweep(ptab.shape[1] // SLAB,
-                                    paired=SR_PAIRED_ROWS)
-                  and not differentiable)
-        pr = SR_PAIRED_ROWS and use_pl  # XLA sweep stays slab-granular
+        # Differentiable solves keep the Pallas PRIMAL (custom_vjp with
+        # an XLA static-bound cotangent) but not paired rows — the
+        # backward sweep is slab-granular.
+        use_pl = _use_pallas_sweep(
+            ptab.shape[1] // SLAB,
+            paired=SR_PAIRED_ROWS and not differentiable)
+        pr = SR_PAIRED_ROWS and use_pl and not differentiable
         wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
                                      symmetric=sym, paired=pr)
-        if use_pl:
+        interp = jax.default_backend() != "tpu"
+        if use_pl and not differentiable:
             atab = _sr_sweep_pallas(
                 ptab, mtab, wl_t, wl_s,
                 (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
-                interpret=jax.default_backend() != "tpu", symmetric=sym,
+                interpret=interp, symmetric=sym,
                 flush_runs=SR_FLUSH_RUNS, paired=pr)
+        elif use_pl:
+            atab = _sr_sweep_pallas_ad(
+                ptab, mtab, wl_t, wl_s, n_e, rc2,
+                (1024, interp, sym, SR_FLUSH_RUNS))
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
                              static_bound=differentiable, symmetric=sym)
@@ -1441,9 +1499,12 @@ def accelerations(
     """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N).
 
     ``differentiable=True`` makes the P3M short-range pass reverse-mode
-    differentiable (static-bound sweep loop, XLA sweep) at the cost of
-    also sweeping the padded worklist tail; cutoff_cells=0 (plain pm)
-    is natively differentiable either way."""
+    differentiable: on TPU the PRIMAL stays the production Pallas sweep
+    (custom_vjp, _sr_sweep_pallas_ad) and only the cotangent runs the
+    static-bound XLA sweep; elsewhere both directions use the
+    static-bound XLA sweep (which also sweeps the padded worklist
+    tail).  cutoff_cells=0 (plain pm) is natively differentiable
+    either way."""
     return accelerations_between(pos, pos, mass, grid=grid,
                                  cutoff_cells=cutoff_cells,
                                  capacity=capacity, sr_slabs=sr_slabs,

@@ -375,6 +375,44 @@ def test_p3m_differentiable_grad():
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 
+def test_sr_pallas_differentiable_ad_wrapper():
+    """differentiable=True with the Pallas sweep engaged: the primal is
+    the Pallas kernel itself (bit-identical to the non-differentiable
+    path — custom_vjp changes only the backward rule), and jax.grad
+    matches the XLA static-bound sweep's gradient.  Also checked under
+    SR_SYMMETRIC (the cotangent rule forwards the symmetric flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    pos, _, mass = plummer(1024, seed=22)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    kw = dict(grid=32, cutoff_cells=4,
+              capacity=pm.suggest_capacity(pos, mass, 32, 4))
+
+    def loss(p):
+        return jnp.mean(pm.accelerations(p, mass, differentiable=True,
+                                         **kw) ** 2)
+
+    g_xla = np.asarray(jax.jit(jax.grad(loss))(pos))  # XLA end-to-end
+    pm.SR_SWEEP_IMPL = "pallas"
+    try:
+        a_nd = np.asarray(pm.accelerations(pos, mass, **kw))
+        a_d = np.asarray(pm.accelerations(pos, mass, differentiable=True,
+                                          **kw))
+        np.testing.assert_array_equal(a_d, a_nd)
+        g_pl = np.asarray(jax.jit(jax.grad(loss))(pos))
+        pm.SR_SYMMETRIC = True
+        g_sym = np.asarray(jax.jit(jax.grad(loss))(pos))
+    finally:
+        pm.SR_SWEEP_IMPL = "auto"
+        pm.SR_SYMMETRIC = False
+    scale = np.abs(g_xla).max()
+    assert np.isfinite(g_pl).all() and np.abs(g_pl).max() > 0
+    np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-5 * scale)
+    np.testing.assert_allclose(g_sym, g_xla, rtol=0, atol=2e-5 * scale)
+
+
 def test_sr_sweep_symmetric_matches_full():
     """The pair-symmetric worklist (s >= t) + per-entry reaction must
     reproduce the full both-directions sweep: same physics, half the
