@@ -370,6 +370,11 @@ SR_SWEEP_IMPL = "auto"
 # rejects the cond-carried accumulator pattern.
 SR_FLUSH_RUNS = True
 
+# SMEM worklist block size for the Pallas sweep (entries per grid step).
+# Shared by the plain and the custom_vjp (differentiable) dispatch so a
+# retune keeps both paths bit-identical.
+SR_CHUNK = 1024
+
 # Pair-symmetric short-range sweep: each unordered slab pair once
 # (s >= t), reaction added per entry.  ~47% of the entries for ~25%
 # extra per-entry work.  Off until the Pallas path has a hardware
@@ -705,7 +710,7 @@ def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
 
 
 def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
-                     chunk: int = 1024, interpret: bool = False,
+                     chunk: int = 0, interpret: bool = False,
                      symmetric: bool = False, flush_runs: bool = True,
                      paired: bool = False):
     """The short-range sweep as a Pallas TPU kernel.
@@ -771,6 +776,7 @@ def _sr_sweep_pallas(ptab, mtab, wl_t, wl_s, bounds, rc2,
 
     f32 = jnp.float32
     i32 = jnp.int32
+    chunk = chunk or SR_CHUNK
     nslots = ptab.shape[1]
     n_slabs = nslots // SLAB  # s_max real slabs + 1 sentinel
     if paired and n_slabs % 2:
@@ -1272,7 +1278,7 @@ def accelerations_between(
         elif use_pl:
             atab = _sr_sweep_pallas_ad(
                 ptab, mtab, wl_t, wl_s, n_e, rc2,
-                (1024, interp, sym, SR_FLUSH_RUNS))
+                (SR_CHUNK, interp, sym, SR_FLUSH_RUNS))
         else:
             atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
                              static_bound=differentiable, symmetric=sym)
@@ -1503,8 +1509,11 @@ def accelerations(
     (custom_vjp, _sr_sweep_pallas_ad) and only the cotangent runs the
     static-bound XLA sweep; elsewhere both directions use the
     static-bound XLA sweep (which also sweeps the padded worklist
-    tail).  cutoff_cells=0 (plain pm) is natively differentiable
-    either way."""
+    tail).  custom_vjp forecloses FORWARD-mode AD (jax.jvp/jacfwd)
+    through the Pallas path — set ``pm.SR_SWEEP_IMPL = "xla"`` to
+    force the jvp-able static-bound sweep in both directions.
+    cutoff_cells=0 (plain pm) is natively differentiable either
+    way, both modes."""
     return accelerations_between(pos, pos, mass, grid=grid,
                                  cutoff_cells=cutoff_cells,
                                  capacity=capacity, sr_slabs=sr_slabs,

@@ -6,10 +6,14 @@
 # rerun any that failed individually.
 #
 # Usage: bash scripts/hw_contact.sh [logdir]   (default logs/hw_contact)
+#        HW_CONTINUE=1 ... to keep measuring past a failed acceptance
+#        check (step 1) — by default a tpu_check failure stops the run
+#        so hours of measurements aren't taken on a broken config.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG="${1:-logs/hw_contact}"
 mkdir -p "$LOG"
+rm -f "$LOG/FAILED"   # stale failures from a previous run don't carry over
 
 step() {
     local name="$1"; shift
@@ -30,6 +34,11 @@ step() {
 #    flush-runs accumulator is rejected, set pm.SR_FLUSH_RUNS=False and
 #    rerun — see ROADMAP.md fallbacks).
 step tpu_check bash scripts/tpu_check.sh
+if [ -f "$LOG/FAILED" ] && [ "${HW_CONTINUE:-0}" != "1" ]; then
+    echo "hw_contact: acceptance check failed — fix it (ROADMAP.md"
+    echo "fallbacks) and rerun, or HW_CONTINUE=1 to measure anyway."
+    exit 1
+fi
 
 # 2. SR sweep A/B: xla / pallas / flushless / symmetric / paired /
 #    pair-sym / SLAB=128 probe, isolated + full p3m solve.

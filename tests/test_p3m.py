@@ -413,6 +413,39 @@ def test_sr_pallas_differentiable_ad_wrapper():
     np.testing.assert_allclose(g_sym, g_xla, rtol=0, atol=2e-5 * scale)
 
 
+def test_p3m_forward_mode_via_xla_impl():
+    """Forward-mode AD (jax.jvp) crosses the P3M short-range pass when
+    pm.SR_SWEEP_IMPL='xla' forces the static-bound sweep (custom_vjp on
+    the Pallas path forecloses jvp — the documented escape hatch), and
+    the jvp agrees with the vjp-transposed gradient to fp32 noise."""
+    import jax
+    import jax.numpy as jnp
+
+    pos, _, mass = plummer(512, seed=23)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    kw = dict(grid=32, cutoff_cells=4,
+              capacity=pm.suggest_capacity(pos, mass, 32, 4))
+
+    def loss(p):
+        return jnp.mean(pm.accelerations(p, mass, differentiable=True,
+                                         **kw) ** 2)
+
+    tan = jnp.asarray(np.random.default_rng(5).normal(
+        size=pos.shape), jnp.float32)
+    pm.SR_SWEEP_IMPL = "xla"
+    try:
+        _, jvp_val = jax.jit(lambda p, t: jax.jvp(loss, (p,), (t,)))(
+            pos, tan)
+        g = jax.jit(jax.grad(loss))(pos)
+    finally:
+        pm.SR_SWEEP_IMPL = "auto"
+    jvp_val = float(jvp_val)
+    dot = float(jnp.vdot(g, tan))
+    assert np.isfinite(jvp_val) and abs(jvp_val) > 0
+    np.testing.assert_allclose(jvp_val, dot, rtol=1e-4)
+
+
 def test_sr_sweep_symmetric_matches_full():
     """The pair-symmetric worklist (s >= t) + per-entry reaction must
     reproduce the full both-directions sweep: same physics, half the
