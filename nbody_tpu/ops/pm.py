@@ -86,6 +86,7 @@ on the current bounding box, so they are rebuilt inside the same jit
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -404,7 +405,16 @@ def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
     of the device VMEM budget (N ~ 2M slots plain / ~4M paired on a
     128 MB v5e) fall back to the HBM-streaming XLA sweep rather than
     OOM.  A forced SR_SWEEP_IMPL ("pallas"/"xla") is absolute —
-    experiments own the consequences."""
+    experiments own the consequences.
+
+    On a REAL TPU backend the first use also runs the one-time Mosaic
+    acceptance probe (_sr_mosaic_ok) and self-heals: a rejected
+    flush-on-target-change accumulator flips ``SR_FLUSH_RUNS`` to the
+    flushless variant; a wholesale kernel rejection falls back to the
+    XLA-composed sweep for the process.  The ladder exists because this
+    kernel's compiled path may first meet Mosaic in an unattended
+    driver/bench run (see docs/DESIGN.md "Pallas short-range sweep")."""
+    global SR_FLUSH_RUNS
     if SR_SWEEP_IMPL != "auto":
         return SR_SWEEP_IMPL == "pallas"
     if jax.default_backend() != "tpu":
@@ -415,7 +425,117 @@ def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
         need = 7 * n_slabs * (SLAB if paired else 128) * 4
         if need > 0.7 * device_caps.caps().vmem_limit_bytes:
             return False
+    if _on_real_tpu():
+        sym = SR_SYMMETRIC
+        if not _sr_mosaic_ok(sym, SR_FLUSH_RUNS, paired):
+            if SR_FLUSH_RUNS and _sr_mosaic_ok(sym, False, paired):
+                print(
+                    "nbody_tpu: Mosaic rejected the flush-on-target-change "
+                    "SR sweep; self-healing to the flushless variant "
+                    "(SR_FLUSH_RUNS = False for this process).",
+                    file=sys.stderr,
+                )
+                SR_FLUSH_RUNS = False
+            else:
+                print(
+                    "nbody_tpu: Mosaic rejected the Pallas SR sweep; "
+                    "falling back to the XLA-composed sweep for this "
+                    "process (force SR_SWEEP_IMPL='pallas' to see the "
+                    "compiler error).",
+                    file=sys.stderr,
+                )
+                return False
     return True
+
+
+def _on_real_tpu() -> bool:
+    """Whether the devices actually attached are TPUs (the Mosaic probe
+    gate).  Distinct from ``jax.default_backend()`` on purpose: tests
+    simulate TPU dispatch by monkeypatching default_backend while still
+    running interpret-mode on CPU devices — no Mosaic there to probe."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# In-process Mosaic probe memo: (device kind, jax version, constructs) ->
+# accepted.  Successes (and definite lowering rejections) also persist to
+# the autotune disk cache so only the first process on a new backend pays
+# the probe compile.
+_MOSAIC_PROBE: dict[tuple, bool] = {}
+_PROBE_CACHE_VERSION = 1  # bump when the kernel's construct set changes
+
+
+def _sr_probe_compile(symmetric: bool, flush_runs: bool, paired: bool):
+    """AOT-compile (never execute) a minimal ``_sr_sweep_pallas``
+    instance carrying exactly the construct set production will use —
+    SMEM worklist blocks, the dynamic-sublane table reads, and (when
+    ``flush_runs``) the lax.cond-carried vector accumulator that is the
+    known Mosaic-version risk.  Raises whatever the compiler raises."""
+    f32, i32 = jnp.float32, jnp.int32
+    n_slabs = 2  # one real slab + the sentinel; even, so paired rows work
+    nslots = n_slabs * SLAB
+    ptab = jnp.zeros((3, nslots), f32)
+    mtab = jnp.zeros((nslots,), f32)
+    wl = jnp.zeros((4,), i32)
+    bounds = (jnp.zeros((), i32), jnp.asarray(4, i32))
+    rc2 = jnp.asarray(1.0, f32)
+
+    def fn(p, m, t, s):
+        return _sr_sweep_pallas(p, m, t, s, bounds, rc2,
+                                symmetric=symmetric, flush_runs=flush_runs,
+                                paired=paired)
+
+    jax.jit(fn).lower(ptab, mtab, wl, wl).compile()
+
+
+def _sr_mosaic_ok(symmetric: bool, flush_runs: bool, paired: bool) -> bool:
+    """One-time Mosaic acceptance probe for the SR sweep's constructs.
+
+    True results (and rejections whose error text looks like a compiler
+    lowering rejection) persist to the autotune disk cache keyed by
+    device kind + jax version + constructs, so later processes skip the
+    probe compile entirely.  Ambiguous failures — e.g. a transient
+    remote-compile HTTP 500 on a tunneled backend — stay process-local,
+    so a healthy later process re-probes instead of inheriting a stale
+    verdict."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    key = (kind, jax.__version__, bool(symmetric), bool(flush_runs),
+           bool(paired), _PROBE_CACHE_VERSION)
+    if key in _MOSAIC_PROBE:
+        return _MOSAIC_PROBE[key]
+    from ..utils.autotune import _load_disk_cache, _save_disk_cache
+
+    disk_key = "sr_mosaic|" + "|".join(map(str, key))
+    disk = _load_disk_cache()
+    if disk_key in disk:
+        ok = bool(disk[disk_key])
+        _MOSAIC_PROBE[key] = ok
+        return ok
+    try:
+        _sr_probe_compile(symmetric, flush_runs, paired)
+        ok, persist = True, True
+    except Exception as e:  # noqa: BLE001 — classify, never crash dispatch
+        msg = f"{type(e).__name__}: {e}"
+        definite = any(t in msg for t in (
+            "Mosaic", "mosaic", "Unsupported", "unsupported",
+            "NotImplemented", "not implemented", "lowering", "Lowering"))
+        print(
+            "nbody_tpu: Pallas SR sweep probe failed "
+            f"(symmetric={symmetric}, flush_runs={flush_runs}, "
+            f"paired={paired}): {msg[:400]}",
+            file=sys.stderr,
+        )
+        ok, persist = False, definite
+    _MOSAIC_PROBE[key] = ok
+    if persist:
+        disk[disk_key] = ok
+        _save_disk_cache(disk)
+    return ok
 
 
 def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):

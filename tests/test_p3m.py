@@ -802,3 +802,95 @@ def test_p3m_engine_run():
     assert cfg.pm_capacity >= 64  # the engine sized the cell list
     assert len(result.samples) == 2
     assert all(np.isfinite(ke) for _, ke in result.kenergy_trace)
+
+
+def _probe_env(monkeypatch, tmp_path, outcomes):
+    """Wire _use_pallas_sweep's Mosaic probe ladder for testing: pretend
+    a real TPU is attached, stub the probe compile with per-construct
+    outcomes {(sym, flush, paired): exception | None}, and isolate both
+    the in-process memo and the disk cache."""
+    calls = []
+
+    def fake_probe(symmetric, flush_runs, paired):
+        calls.append((symmetric, flush_runs, paired))
+        exc = outcomes.get((symmetric, flush_runs, paired))
+        if exc is not None:
+            raise exc
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "auto")
+    monkeypatch.setattr(pm, "SR_FLUSH_RUNS", True)
+    monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
+    monkeypatch.setattr(pm, "_on_real_tpu", lambda: True)
+    monkeypatch.setattr(pm, "_sr_probe_compile", fake_probe)
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    return calls
+
+
+def test_sr_mosaic_probe_accepts(monkeypatch, tmp_path):
+    """Probe passes -> Pallas dispatch unchanged, knob untouched, and
+    the verdict persists so the probe compile runs exactly once."""
+    calls = _probe_env(monkeypatch, tmp_path, {})
+    assert pm._use_pallas_sweep(100) is True
+    assert pm.SR_FLUSH_RUNS is True
+    assert pm._use_pallas_sweep(100) is True
+    assert len(calls) == 1  # in-process memo
+    monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
+    assert pm._use_pallas_sweep(100) is True
+    assert len(calls) == 1  # disk-cache hit across "processes"
+
+
+def test_sr_mosaic_probe_self_heals_to_flushless(monkeypatch, tmp_path):
+    """The ROADMAP fallback, automated: Mosaic rejecting the
+    cond-carried accumulator flips SR_FLUSH_RUNS instead of crashing an
+    unattended bench run."""
+    reject = Exception("Mosaic lowering failed: unsupported op")
+    calls = _probe_env(
+        monkeypatch, tmp_path,
+        {(False, True, False): reject})
+    assert pm._use_pallas_sweep(100) is True
+    assert pm.SR_FLUSH_RUNS is False
+    assert calls == [(False, True, False), (False, False, False)]
+
+
+def test_sr_mosaic_probe_falls_back_to_xla(monkeypatch, tmp_path):
+    """Both variants rejected -> XLA-composed sweep for the process."""
+    reject = Exception("Mosaic lowering failed: unsupported op")
+    _probe_env(
+        monkeypatch, tmp_path,
+        {(False, True, False): reject, (False, False, False): reject})
+    assert pm._use_pallas_sweep(100) is False
+    assert pm.SR_FLUSH_RUNS is True  # nothing to flip to
+
+
+def test_sr_mosaic_probe_transient_failures_not_persisted(
+        monkeypatch, tmp_path):
+    """A tunnel/remote-compile hiccup must not brand the kernel as
+    rejected forever: ambiguous errors stay process-local while definite
+    lowering rejections persist."""
+    import json
+    import os
+
+    transient = Exception("HTTP 500 from remote compile service")
+    _probe_env(
+        monkeypatch, tmp_path,
+        {(False, True, False): transient, (False, False, False): transient})
+    assert pm._use_pallas_sweep(100) is False
+    cache = os.path.join(str(tmp_path), "nbody_tpu", "autotune.json")
+    persisted = json.load(open(cache)) if os.path.exists(cache) else {}
+    assert not [k for k in persisted if k.startswith("sr_mosaic|")]
+
+    definite = Exception("Mosaic lowering failed: unsupported op")
+    monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
+    outcomes = {(False, True, False): definite, (False, False, False): None}
+    monkeypatch.setattr(
+        pm, "_sr_probe_compile",
+        lambda s, f, p: (_ for _ in ()).throw(outcomes[(s, f, p)])
+        if outcomes[(s, f, p)] else None)
+    assert pm._use_pallas_sweep(100) is True
+    persisted = json.load(open(cache))
+    keys = sorted(k for k in persisted if k.startswith("sr_mosaic|"))
+    assert len(keys) == 2  # the rejection AND the flushless acceptance
+    assert sorted(persisted[k] for k in keys) == [False, True]
