@@ -668,7 +668,12 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     n_rows = off_arr.shape[1]
     has = slab_lo < n_cells
     lo_w = slab_lo[:, None] + (off_arr - sub)  # (S, R) window bounds
-    hi_w = slab_hi[:, None] + (off_arr + sub)
+    # Clamp the window top to the last REAL cell id: empty padding slabs
+    # are pinned at the n_cells sentinel, so an unclamped hi_w >= n_cells
+    # would sweep them all in — making n_e grow with the table's slab
+    # padding and letting phantom zero-weight entries overflow a
+    # measured ``suggest_sr_plan`` e_max (dropping real tail entries).
+    hi_w = jnp.minimum(slab_hi[:, None] + (off_arr + sub), n_cells - 1)
     s0 = jnp.searchsorted(slab_hi, lo_w.reshape(-1),
                           side="left").reshape(s_max, n_rows).astype(i32)
     s1 = jnp.searchsorted(slab_lo, hi_w.reshape(-1),
@@ -709,6 +714,111 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     return wl_t, wl_s, n_e
 
 
+def _sr_sizing(n_cap: int, n_bin: int, n_cells: int, capacity: int,
+               sr_slabs: int, sr_entries: int):
+    """Resolve the static cell capacity and (s_max, e_max) plan bounds —
+    the measured ``suggest_sr_plan`` values when given, the guaranteed
+    defaults otherwise.  ``n_cap`` sizes the per-cell capacity (source
+    count), ``n_bin`` the slab tables (sources + any massless target
+    copies)."""
+    cap = int(capacity) or _auto_capacity(n_cap, n_cells)
+    s_max, e_max = int(sr_slabs), int(sr_entries)
+    if not (s_max and e_max):
+        ds, de = _default_sr_plan(n_bin)
+        s_max, e_max = s_max or ds, e_max or de
+    return cap, s_max, e_max
+
+
+def _sr_rc2(span, nc: int, sub: int):
+    """Squared cutoff radius: ``sub`` cell widths of the SHORTEST box
+    axis (the taper must fit inside the stencil in every direction)."""
+    rc = jnp.float32(sub) * jnp.min(span[:, 0]) / jnp.float32(nc)
+    return rc * rc
+
+
+def _bin_cids(pos, lo_box, span, nc: int, inc):
+    """Cell ids of the bin candidates; everything excluded by the
+    boolean ``inc`` (out-of-box, zero-mass padding) gets the n_cells
+    sentinel so _sr_pack sorts it past every real slab."""
+    co = _cell_coords(pos, lo_box, jnp.float32(nc) / span, nc)
+    cid = (co[0] * nc + co[1]) * nc + co[2]
+    return jnp.where(inc, cid, nc * nc * nc)
+
+
+def _outlier_moments(pos, mass, m_in, lo_box, hi_box, reduce):
+    """Monopole moments for the out-of-box handling shared by the
+    single-device and sharded solvers: total in-box (M_in, com_in) plus
+    one outlier monopole PER DIRECTION OCTANT around the box center — a
+    single collective monopole would misplace outliers that straddle
+    the box (two heavy bodies on opposite sides average to a phantom
+    central mass); per-octant groups keep each far AND on its own side,
+    and a lone outlier's self-force is exactly zero (d = 0 under
+    softening).  ``reduce`` is identity locally, lax.psum sharded."""
+    f32 = jnp.float32
+    tiny = f32(1e-30)
+    M_in = reduce(jnp.sum(m_in))
+    com_in = reduce(
+        (pos * m_in).sum(axis=1, keepdims=True)) / jnp.maximum(M_in, tiny)
+    m_out = mass - m_in
+    ctr = 0.5 * (lo_box + hi_box)  # (3, 1)
+    side = (pos > ctr).astype(jnp.int32)
+    oct_id = side[0] * 4 + side[1] * 2 + side[2]
+    octs = []
+    for k in range(8):
+        m_k = m_out * (oct_id == k).astype(f32)
+        M_k = reduce(jnp.sum(m_k))
+        S_k = reduce((pos * m_k).sum(axis=1, keepdims=True))
+        octs.append((M_k, S_k / jnp.maximum(M_k, tiny)))
+    return M_in, com_in, octs
+
+
+def _pm_force_grids(rho_hat, h, ng: int):
+    """Plain-PM acceleration grids: a(c) = -(rho * f)(c) per component
+    (antisymmetric kernel), via the full-complex transforms (this
+    backend's irfftn is broken — see _force_kernel_spectra)."""
+    kx, ky, kz = _force_kernel_spectra(h, ng)
+    return jnp.stack([
+        -jnp.fft.ifftn(rho_hat * k).real[:ng, :ng, :ng]
+        for k in (kx, ky, kz)])
+
+
+def _p3m_force_grids(rho_hat, rho_over_hat_fn, h, ng: int, rc2, has_over):
+    """(acc_grids, comp_grids) for the P3M split, under the overflow
+    lax.cond: everyone gets the tapered long-range kernel of the full
+    in-box mass, overflowed sources additionally deposit through the
+    complement (short-range) kernel, and ``comp_grids`` carries the
+    binned mass's complement field for overflowed TARGETS — mesh-quality
+    full forces on BOTH sides of every overflow pair.  With no overflow
+    the cond skips the seven extra (2ng)^3 transforms entirely.
+
+    ``rho_over_hat_fn`` produces the overflow-mass spectrum INSIDE the
+    cond (the single-device caller defers its deposit+fft there); a
+    caller with collectives must run them OUTSIDE the cond and close
+    over the result (sharded_accelerations psums the overflow deposit
+    unconditionally)."""
+    (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
+
+    def grids(specs):
+        return jnp.stack([
+            -jnp.fft.ifftn(s).real[:ng, :ng, :ng] for s in specs])
+
+    def _over(_):
+        roh = rho_over_hat_fn()
+        g = grids((rho_hat * kx + roh * sx,
+                   rho_hat * ky + roh * sy,
+                   rho_hat * kz + roh * sz))
+        comp = grids(((rho_hat - roh) * sx,
+                      (rho_hat - roh) * sy,
+                      (rho_hat - roh) * sz))
+        return g, comp
+
+    def _plain(_):
+        g = grids((rho_hat * kx, rho_hat * ky, rho_hat * kz))
+        return g, jnp.zeros_like(g)
+
+    return jax.lax.cond(has_over, _over, _plain, operand=None)
+
+
 def sr_pack_inputs(pos, mass, grid: int = DEFAULT_GRID,
                    cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
                    capacity: int = 0, sr_slabs: int = 0,
@@ -730,22 +840,15 @@ def sr_pack_inputs(pos, mass, grid: int = DEFAULT_GRID,
     lo_box, hi_box = _robust_box(pos, mass)
     span = hi_box - lo_box
     inc = (mass * _inside(pos, lo_box, hi_box)) > 0
-    cap = int(capacity) or _auto_capacity(ns, n_cells)
-    s_max = int(sr_slabs)
-    e_max = int(sr_entries)
-    if not (s_max and e_max):
-        ds, de = _default_sr_plan(ns, n_cells, sub, -((-cap) // SLAB))
-        s_max, e_max = s_max or ds, e_max or de
-    rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
-    co = _cell_coords(pos, lo_box, f32(nc) / span, nc)
-    cid = (co[0] * nc + co[1]) * nc + co[2]
-    cid = jnp.where(inc, cid, n_cells)
+    cap, s_max, e_max = _sr_sizing(ns, ns, n_cells, capacity,
+                                   sr_slabs, sr_entries)
+    cid = _bin_cids(pos, lo_box, span, nc, inc)
     ptab, mtab, slab_lo, slab_hi, _, _ = _sr_pack(
         cid, pos, mass, n_cells, cap, s_max)
     wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, e_max,
                                  symmetric=symmetric, paired=paired)
     return dict(ptab=ptab, mtab=mtab, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
-                e_max=e_max, rc2=rc * rc)
+                e_max=e_max, rc2=_sr_rc2(span, nc, sub))
 
 
 def _sr_sweep(ptab, mtab, wl_t, wl_s, n_entries, rc2, chunk: int = 512,
@@ -1151,7 +1254,7 @@ def _sr_ad_bwd(opts, res, g):
 _sr_sweep_pallas_ad.defvjp(_sr_ad_fwd, _sr_ad_bwd)
 
 
-def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
+def _default_sr_plan(n_bin: int):
     """Static bounds when the caller provides no measured plan.
 
     ``s_max = ceil(n/SLAB) + 1`` is exact for packed slabs.  The entry
@@ -1161,7 +1264,6 @@ def _default_sr_plan(n_bin: int, n_cells: int, sub: int, kmax: int):
     the cap binds only above N ~ 131k, where real runs come through the
     engine's measured suggest_sr_plan (and a capped worklist degrades
     gracefully: dropped tail entries lose pairs, never corrupt)."""
-    del n_cells, kmax
     s_max = n_bin // SLAB + 1 + (1 if n_bin % SLAB else 0)
     return s_max, min(s_max * s_max, 1 << 22)
 
@@ -1249,29 +1351,8 @@ def accelerations_between(
     in_src = _inside(pos_src, lo_box, hi_box)  # (Ns,) f32
     in_tgt = _inside(pos_tgt, lo_box, hi_box)  # (Nt,) f32
     m_in = mass_src * in_src
-    m_out = mass_src - m_in
-    tiny = f32(1e-30)
-    M_in = jnp.sum(m_in)
-    com_in = (pos_src * m_in).sum(axis=1, keepdims=True) / jnp.maximum(
-        M_in, tiny)
-    # Outlier sources, grouped PER OCTANT around the box center: a single
-    # collective monopole would misplace outliers that straddle the box
-    # (two heavy bodies on opposite sides average to a phantom central
-    # mass); one monopole per direction octant keeps each group far AND
-    # on its own side.  A lone outlier gets its own octant, so its
-    # self-force is exactly zero (d = 0 under softening).
-    ctr = 0.5 * (lo_box + hi_box)  # (3, 1)
-    side = (pos_src > ctr).astype(jnp.int32)
-    oct_id = side[0] * 4 + side[1] * 2 + side[2]  # (Ns,)
-    oct_masses, oct_coms = [], []
-    for k in range(8):
-        m_k = m_out * (oct_id == k).astype(f32)
-        M_k = jnp.sum(m_k)
-        oct_masses.append(M_k)
-        oct_coms.append(
-            (pos_src * m_k).sum(axis=1, keepdims=True)
-            / jnp.maximum(M_k, tiny)
-        )
+    M_in, com_in, octs = _outlier_moments(pos_src, mass_src, m_in,
+                                          lo_box, hi_box, lambda x: x)
 
     # ng-3 usable cells: one margin cell each side plus the CIC upper corner.
     h = (span / f32(ng - 3))[:, 0]  # (3,)
@@ -1305,19 +1386,10 @@ def accelerations_between(
                 [m_in, jnp.zeros((pos_tgt.shape[1],), f32)]
             )
             inc = jnp.concatenate([m_in > 0, in_tgt > 0])
-        cap = int(capacity) or _auto_capacity(ns, n_cells)
-        kmax = -((-cap) // SLAB)
-        s_max = int(sr_slabs)
-        e_max = int(sr_entries)
-        if not (s_max and e_max):
-            ds, de = _default_sr_plan(pos_bin.shape[1], n_cells, sub, kmax)
-            s_max, e_max = s_max or ds, e_max or de
-        rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
-        rc2 = rc * rc
-        inv_c = f32(nc) / span  # (3, 1)
-        co = _cell_coords(pos_bin, lo_box, inv_c, nc)
-        cid = (co[0] * nc + co[1]) * nc + co[2]
-        cid = jnp.where(inc, cid, n_cells)  # exclude out-of-box/padding
+        cap, s_max, e_max = _sr_sizing(ns, pos_bin.shape[1], n_cells,
+                                       capacity, sr_slabs, sr_entries)
+        rc2 = _sr_rc2(span, nc, sub)
+        cid = _bin_cids(pos_bin, lo_box, span, nc, inc)
         ptab, mtab, slab_lo, slab_hi, pslot, binned_all = _sr_pack(
             cid, pos_bin, m_bin, n_cells, cap, s_max
         )
@@ -1330,52 +1402,13 @@ def accelerations_between(
         # transforms and the extra gather entirely.
         has_over = jnp.any(jnp.logical_and(jnp.logical_not(binned_all),
                                            inc))
-        (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
-
-        def _grids_over(_):
-            rho_over_hat = jnp.fft.fftn(
-                _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)
-            )
-            g = jnp.stack([
-                -jnp.fft.ifftn(rho_hat * kx + rho_over_hat * sx).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * ky + rho_over_hat * sy).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * kz + rho_over_hat * sz).real[
-                    :ng, :ng, :ng],
-            ])
-            # Overflowed TARGETS get the complement kernel of the BINNED
-            # mass via the mesh (the reciprocal of the overflow-source
-            # deposit — full-mesh on both sides of every overflow pair):
-            comp = jnp.stack([
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
-                    :ng, :ng, :ng],
-            ])
-            return g, comp
-
-        def _grids_plain(_):
-            g = jnp.stack([
-                -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
-            ])
-            return g, jnp.zeros_like(g)
-
-        acc_grids, comp_grids = jax.lax.cond(
-            has_over, _grids_over, _grids_plain, operand=None)
+        acc_grids, comp_grids = _p3m_force_grids(
+            rho_hat,
+            lambda: jnp.fft.fftn(
+                _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)),
+            h, ng, rc2, has_over)
     else:
-        kx, ky, kz = _force_kernel_spectra(h, ng)
-        gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
-        # a(c) = sum_{c'} rho(c') f(c'-c) = -(rho*f)(c), antisymmetric f
-        acc_grids = jnp.stack([
-            -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
-            -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
-            -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
-        ])
+        acc_grids = _pm_force_grids(rho_hat, h, ng)
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         sym = SR_SYMMETRIC
@@ -1412,7 +1445,7 @@ def accelerations_between(
             operand=None)
         acc = acc + jnp.where(tgt_binned[None, :], a_sr, a_comp)
     acc = jnp.where(in_tgt > 0, acc, _monopole(pos_tgt, M_in, com_in))
-    for M_k, com_k in zip(oct_masses, oct_coms):
+    for M_k, com_k in octs:
         acc = acc + _monopole(pos_tgt, M_k, com_k)
     return (acc * f32(G_NEWTON)).astype(f32)
 
@@ -1472,24 +1505,10 @@ def sharded_accelerations(
     span = hi_box - lo_box
     in_l = _inside(pos_l, lo_box, hi_box)
     m_in_l = mass_l * in_l
-    m_out_l = mass_l - m_in_l
-    tiny = f32(1e-30)
-    M_in = psum(jnp.sum(m_in_l))
-    com_in = psum(
-        (pos_l * m_in_l).sum(axis=1, keepdims=True)
-    ) / jnp.maximum(M_in, tiny)
-    # Per-octant outlier monopoles (see accelerations_between) — local
+    # Per-octant outlier monopoles (see _outlier_moments) — local
     # moments, psum'd.
-    ctr = 0.5 * (lo_box + hi_box)
-    side = (pos_l > ctr).astype(jnp.int32)
-    oct_id = side[0] * 4 + side[1] * 2 + side[2]
-    oct_masses, oct_coms = [], []
-    for k in range(8):
-        m_k = m_out_l * (oct_id == k).astype(f32)
-        M_k = psum(jnp.sum(m_k))
-        S_k = psum((pos_l * m_k).sum(axis=1, keepdims=True))
-        oct_masses.append(M_k)
-        oct_coms.append(S_k / jnp.maximum(M_k, tiny))
+    M_in, com_in, octs = _outlier_moments(pos_l, mass_l, m_in_l,
+                                          lo_box, hi_box, psum)
 
     h = (span / f32(ng - 3))[:, 0]
     inv_h = 1.0 / h[:, None]
@@ -1505,19 +1524,10 @@ def sharded_accelerations(
         nc, sub = _cell_grid_params(ng, cutoff_cells)
         n_cells = nc * nc * nc
         n_all = pos_all.shape[1]
-        cap = int(capacity) or _auto_capacity(n_all, n_cells)
-        kmax = -((-cap) // SLAB)
-        s_max = int(sr_slabs)
-        e_max = int(sr_entries)
-        if not (s_max and e_max):
-            ds, de = _default_sr_plan(n_all, n_cells, sub, kmax)
-            s_max, e_max = s_max or ds, e_max or de
-        rc = f32(sub) * jnp.min(span[:, 0]) / f32(nc)
-        rc2 = rc * rc
-        inv_c = f32(nc) / span
-        co_s = _cell_coords(pos_all, lo_box, inv_c, nc)
-        cid = (co_s[0] * nc + co_s[1]) * nc + co_s[2]
-        cid = jnp.where(m_in_all > 0, cid, n_cells)
+        cap, s_max, e_max = _sr_sizing(n_all, n_all, n_cells, capacity,
+                                       sr_slabs, sr_entries)
+        rc2 = _sr_rc2(span, nc, sub)
+        cid = _bin_cids(pos_all, lo_box, span, nc, m_in_all > 0)
         ptab, mtab, slab_lo, slab_hi, pslot, binned = _sr_pack(
             cid, pos_all, m_in_all, n_cells, cap, s_max
         )
@@ -1534,46 +1544,11 @@ def sharded_accelerations(
         # Replicated predicate (same gathered tables on every shard).
         has_over = jnp.any(jnp.logical_and(jnp.logical_not(binned),
                                            m_in_all > 0))
-        (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
-
-        def _grids_over(_):
-            rho_over_hat = jnp.fft.fftn(rho_over, s=(m, m, m))
-            g = jnp.stack([
-                -jnp.fft.ifftn(rho_hat * kx + rho_over_hat * sx).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * ky + rho_over_hat * sy).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * kz + rho_over_hat * sz).real[
-                    :ng, :ng, :ng],
-            ])
-            comp = jnp.stack([
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sx).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sy).real[
-                    :ng, :ng, :ng],
-                -jnp.fft.ifftn((rho_hat - rho_over_hat) * sz).real[
-                    :ng, :ng, :ng],
-            ])
-            return g, comp
-
-        def _grids_plain(_):
-            g = jnp.stack([
-                -jnp.fft.ifftn(rho_hat * kx).real[:ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * ky).real[:ng, :ng, :ng],
-                -jnp.fft.ifftn(rho_hat * kz).real[:ng, :ng, :ng],
-            ])
-            return g, jnp.zeros_like(g)
-
-        acc_grids, comp_grids = jax.lax.cond(
-            has_over, _grids_over, _grids_plain, operand=None)
+        acc_grids, comp_grids = _p3m_force_grids(
+            rho_hat, lambda: jnp.fft.fftn(rho_over, s=(m, m, m)),
+            h, ng, rc2, has_over)
     else:
-        kx, ky, kz = _force_kernel_spectra(h, ng)
-        gx, gy, gz = rho_hat * kx, rho_hat * ky, rho_hat * kz
-        acc_grids = jnp.stack([
-            -jnp.fft.ifftn(gx).real[:ng, :ng, :ng],
-            -jnp.fft.ifftn(gy).real[:ng, :ng, :ng],
-            -jnp.fft.ifftn(gz).real[:ng, :ng, :ng],
-        ])
+        acc_grids = _pm_force_grids(rho_hat, h, ng)
     acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
     if cutoff_cells:
         # Sweep ~1/K of the worklist's entries per shard, psum the
@@ -1612,7 +1587,7 @@ def sharded_accelerations(
             operand=None)
         acc = acc + jnp.where(binned_l[None, :], a_sr, a_comp)
     acc = jnp.where(in_l > 0, acc, _monopole(pos_l, M_in, com_in))
-    for M_k, com_k in zip(oct_masses, oct_coms):
+    for M_k, com_k in octs:
         acc = acc + _monopole(pos_l, M_k, com_k)
     return (acc * f32(G_NEWTON)).astype(f32)
 
@@ -1750,9 +1725,7 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
     n_cells = nc * nc * nc
     span = hi_box - lo_box
     m_in = mass * _inside(pos, lo_box, hi_box)
-    co = _cell_coords(pos, lo_box, f32(nc) / span, nc)
-    cid = (co[0] * nc + co[1]) * nc + co[2]
-    cid = jnp.where(m_in > 0, cid, n_cells)
+    cid = _bin_cids(pos, lo_box, span, nc, m_in > 0)
     s_cap = ns // SLAB + 2
     _, _, slab_lo, slab_hi, _, binned = _sr_pack(
         cid, pos, m_in, n_cells, int(cap), s_cap)

@@ -60,14 +60,22 @@ def save_state_orbax(dirpath: str, state: ParticleState, step: int = 0) -> None:
 
 
 def load_state_orbax(dirpath: str) -> tuple[ParticleState, int]:
-    """Restore an orbax checkpoint (single-host restore; for multi-host
-    resharded restores pass the arrays through jax.device_put with the
-    target sharding afterwards)."""
+    """Restore an orbax checkpoint to HOST numpy regardless of the
+    topology it was saved under — a state saved from a multi-process pod
+    mesh must load on a single host and vice versa, and orbax's default
+    restore rejects any device-id mismatch.  For multi-host resharded
+    restores pass the arrays through jax.device_put with the target
+    sharding afterwards (test_multiprocess.py does exactly this)."""
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    t = ckptr.restore(os.path.abspath(dirpath))
+    path = os.path.abspath(dirpath)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    restore_args = {
+        k: ocp.RestoreArgs(restore_type=np.ndarray) for k in meta
+    }
+    t = ckptr.restore(path, restore_args=restore_args)
     if int(t["version"]) > FORMAT_VERSION:
         raise ValueError(f"checkpoint version {int(t['version'])} too new")
     state = ParticleState(

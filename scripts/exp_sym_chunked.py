@@ -62,8 +62,9 @@ def main(sizes):
     _enable_compilation_cache()
     for n in sizes:
         state = make_state(n, pad_multiple=512)
-        auto_per = _sym_chunking(state.n_padded, 1 << 40)
-        print(f"N={n}: auto per={auto_per}", flush=True)
+        auto = _sym_chunking(state.n_padded, 1 << 40)
+        auto_per, auto_block = auto if auto else (None, None)
+        print(f"N={n}: auto per={auto_per} block={auto_block}", flush=True)
         for per, block in ((524288, 1024), (262144, 1024), (524288, 512)):
             if state.n_padded % per:
                 continue

@@ -86,6 +86,84 @@ def test_two_process_ring_matches_single_device(tmp_path):
     assert kes_pm[0] == pytest.approx(float(ke_pm_ref), rel=1e-5)
 
 
+_ORBAX_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+port, pid, repo, ckdir = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import numpy as np
+from jax.sharding import NamedSharding
+from nbody_tpu.init import make_state
+from nbody_tpu.parallel.decompose import (make_sharded_block_fn,
+                                          shard_state, state_specs)
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.state import ParticleState
+from nbody_tpu.utils.checkpoint import load_state_orbax, save_state_orbax
+
+mesh = make_mesh(8)
+state = make_state(512, pad_multiple=8)
+sharded, _ = shard_state(state, 8, mesh=mesh)
+# Save ACROSS the 2-process mesh: each process writes only its own
+# device shards; orbax coordinates the commit over jax.distributed.
+save_state_orbax(ckdir, sharded, step=42)
+restored, step = load_state_orbax(ckdir)
+assert step == 42 and restored.n == 512, (step, restored.n)
+specs = state_specs()
+pos = jax.device_put(restored.pos, NamedSharding(mesh, specs.pos))
+vel = jax.device_put(restored.vel, NamedSharding(mesh, specs.vel))
+mass = jax.device_put(restored.mass, NamedSharding(mesh, specs.mass))
+blk = make_sharded_block_fn("naive", {}, 0.1, 5, mesh, comm="ring")
+_, ke_restored = blk(ParticleState(pos=pos, vel=vel, mass=mass,
+                                   n=restored.n))
+_, ke_orig = blk(sharded)
+assert float(ke_restored) == float(ke_orig)
+print("KE_CKPT_RESULT", float(ke_restored))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_orbax_save_restore(tmp_path):
+    """The multi-host checkpoint path end-to-end: a state sharded over a
+    2-process 8-device mesh is orbax-saved from device shards (each
+    process writing only its own), restored in both processes,
+    device_put back onto the mesh sharding, and steps identically to
+    the original — the restart workflow a pod run would use
+    (checkpoint.py save_state_orbax/load_state_orbax)."""
+    pytest.importorskip("orbax.checkpoint")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker_orbax.py"
+    worker.write_text(_ORBAX_WORKER)
+    port = str(_free_port())
+    ckdir = str(tmp_path / "ck_orbax")
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), repo, ckdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    kes = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out
+        kes += [float(l.split()[1]) for l in out.splitlines()
+                if l.startswith("KE_CKPT_RESULT")]
+    assert len(kes) == 2 and kes[0] == kes[1]
+
+    # The directory is also restorable by a plain SINGLE-process run
+    # (the pod-to-single-host migration path).
+    from nbody_tpu.utils.checkpoint import load_state
+    state, step = load_state(ckdir, pad_multiple=8)
+    assert step == 42 and state.n == 512
+
+
 @pytest.mark.slow
 def test_pod_launcher_rank_gating(tmp_path):
     """scripts/pod_run.sh reproduces the hand-built 2-process mesh above

@@ -173,6 +173,29 @@ def test_suggest_sr_plan_measured_and_sufficient():
     assert np.all(np.isfinite(a_trunc))
 
 
+def test_sr_worklist_count_independent_of_slab_padding():
+    """Review fix: windows reaching past the last real cell id must NOT
+    sweep in the empty padding slabs (pinned at the n_cells sentinel) —
+    that made n_e grow with sr_slabs table padding, so a measured
+    suggest_sr_plan could overflow e_max on the very state it was sized
+    from, silently dropping real t-major tail entries."""
+    from nbody_tpu.init import make_state
+
+    st = make_state(12288, distribution="reference", seed=3)
+    plan = pm.suggest_sr_plan(st.pos, st.mass, 64, 4)
+    base = pm.sr_pack_inputs(st.pos, st.mass, grid=64, cutoff_cells=4,
+                             sr_slabs=plan["sr_slabs"],
+                             sr_entries=plan["sr_entries"])
+    # the realized production worklist fits the plan it was measured for
+    assert int(base["n_e"]) <= base["e_max"], (int(base["n_e"]),
+                                               base["e_max"])
+    # and the count is a property of the DATA, not of the table padding
+    padded = pm.sr_pack_inputs(st.pos, st.mass, grid=64, cutoff_cells=4,
+                               sr_slabs=2 * plan["sr_slabs"],
+                               sr_entries=4 * plan["sr_entries"])
+    assert int(padded["n_e"]) == int(base["n_e"])
+
+
 def test_p3m_overflow_momentum_symmetric():
     """Round-3 fix: capacity-overflowed particles fall back to
     mesh-quality forces on BOTH sides of each pair (complement-kernel
