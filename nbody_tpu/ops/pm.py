@@ -426,9 +426,10 @@ def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
         if need > 0.7 * device_caps.caps().vmem_limit_bytes:
             return False
     if _on_real_tpu():
-        sym = SR_SYMMETRIC
-        if not _sr_mosaic_ok(sym, SR_FLUSH_RUNS, paired):
-            if SR_FLUSH_RUNS and _sr_mosaic_ok(sym, False, paired):
+        ok_main, heal = _sr_agreed_verdicts(SR_SYMMETRIC, SR_FLUSH_RUNS,
+                                            paired)
+        if not ok_main:
+            if SR_FLUSH_RUNS and heal:
                 print(
                     "nbody_tpu: Mosaic rejected the flush-on-target-change "
                     "SR sweep; self-healing to the flushless variant "
@@ -437,15 +438,54 @@ def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
                 )
                 SR_FLUSH_RUNS = False
             else:
-                print(
-                    "nbody_tpu: Mosaic rejected the Pallas SR sweep; "
-                    "falling back to the XLA-composed sweep for this "
-                    "process (force SR_SWEEP_IMPL='pallas' to see the "
-                    "compiler error).",
-                    file=sys.stderr,
-                )
+                if "reject" not in _SR_WARNED:
+                    _SR_WARNED.add("reject")
+                    print(
+                        "nbody_tpu: Mosaic rejected the Pallas SR sweep; "
+                        "falling back to the XLA-composed sweep for this "
+                        "process (force SR_SWEEP_IMPL='pallas' to see the "
+                        "compiler error).",
+                        file=sys.stderr,
+                    )
                 return False
     return True
+
+
+# Once-per-process stderr notices from the sweep dispatch (the rejection
+# branch is re-entered on every retrace; the self-heal branch gates
+# itself via the SR_FLUSH_RUNS flip + probe memo).
+_SR_WARNED: set = set()
+
+
+def _sr_agreed_verdicts(sym: bool, flush_runs: bool,
+                        paired: bool) -> tuple[bool, bool]:
+    """(kernel accepted, flushless fallback accepted) — agreed across
+    processes.
+
+    In a multi-process (pod) run every process must trace the SAME sweep
+    implementation inside the collective computation: if one process's
+    probe hit a transient tunnel error while another's succeeded, they
+    would build structurally different executables around the same psums
+    (summation-order divergence at best, a hung collective at worst).
+    Process 0 probes and broadcasts its verdicts; single-process runs
+    probe locally.  The heal verdict is probed lazily — only when the
+    primary kernel was rejected with flush_runs active."""
+    def local() -> tuple[bool, bool]:
+        main = _sr_mosaic_ok(sym, flush_runs, paired)
+        heal = (not main and flush_runs
+                and _sr_mosaic_ok(sym, False, paired))
+        return main, heal
+
+    if jax.process_count() == 1:
+        return local()
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    verdicts = local() if jax.process_index() == 0 else (False, False)
+    agreed = multihost_utils.broadcast_one_to_all(
+        np.asarray(verdicts, dtype=np.int32))
+    return bool(agreed[0]), bool(agreed[1])
 
 
 def _on_real_tpu() -> bool:
@@ -460,9 +500,11 @@ def _on_real_tpu() -> bool:
 
 
 # In-process Mosaic probe memo: (device kind, jax version, constructs) ->
-# accepted.  Successes (and definite lowering rejections) also persist to
-# the autotune disk cache so only the first process on a new backend pays
-# the probe compile.
+# accepted.  Only ACCEPTED verdicts also persist to the autotune disk
+# cache (so later processes skip the probe compile); rejections stay
+# process-local — a transient remote-compile failure classified as a
+# rejection must not permanently disable the Pallas sweep for every
+# future process on this backend.
 _MOSAIC_PROBE: dict[tuple, bool] = {}
 _PROBE_CACHE_VERSION = 1  # bump when the kernel's construct set changes
 
@@ -493,46 +535,46 @@ def _sr_probe_compile(symmetric: bool, flush_runs: bool, paired: bool):
 def _sr_mosaic_ok(symmetric: bool, flush_runs: bool, paired: bool) -> bool:
     """One-time Mosaic acceptance probe for the SR sweep's constructs.
 
-    True results (and rejections whose error text looks like a compiler
-    lowering rejection) persist to the autotune disk cache keyed by
-    device kind + jax version + constructs, so later processes skip the
-    probe compile entirely.  Ambiguous failures — e.g. a transient
-    remote-compile HTTP 500 on a tunneled backend — stay process-local,
-    so a healthy later process re-probes instead of inheriting a stale
-    verdict."""
+    ACCEPTED verdicts persist to the autotune disk cache keyed by device
+    kind + jax version + constructs (+ the layout knobs SR_CHUNK/SLAB the
+    probe kernel bakes in), so later processes skip the probe compile
+    entirely.  Failures of any flavor — a genuine Mosaic lowering
+    rejection or a transient remote-compile HTTP 500 on a tunneled
+    backend — stay process-local: the two are not reliably
+    distinguishable from the error text, and a rejection persisted by
+    one flaky compile would silently disable the Pallas sweep for every
+    future process.  Re-probing a rejection costs one probe compile per
+    process; inheriting a wrong one costs the kernel forever."""
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
         kind = "unknown"
     key = (kind, jax.__version__, bool(symmetric), bool(flush_runs),
-           bool(paired), _PROBE_CACHE_VERSION)
+           bool(paired), SR_CHUNK, SLAB, _PROBE_CACHE_VERSION)
     if key in _MOSAIC_PROBE:
         return _MOSAIC_PROBE[key]
     from ..utils.autotune import _load_disk_cache, _save_disk_cache
 
     disk_key = "sr_mosaic|" + "|".join(map(str, key))
     disk = _load_disk_cache()
-    if disk_key in disk:
-        ok = bool(disk[disk_key])
-        _MOSAIC_PROBE[key] = ok
-        return ok
+    if disk_key in disk and bool(disk[disk_key]):
+        # Stale False entries (written by an older classifier) are
+        # ignored — rejections always re-probe.
+        _MOSAIC_PROBE[key] = True
+        return True
     try:
         _sr_probe_compile(symmetric, flush_runs, paired)
-        ok, persist = True, True
-    except Exception as e:  # noqa: BLE001 — classify, never crash dispatch
-        msg = f"{type(e).__name__}: {e}"
-        definite = any(t in msg for t in (
-            "Mosaic", "mosaic", "Unsupported", "unsupported",
-            "NotImplemented", "not implemented", "lowering", "Lowering"))
+        ok = True
+    except Exception as e:  # noqa: BLE001 — report, never crash dispatch
         print(
             "nbody_tpu: Pallas SR sweep probe failed "
             f"(symmetric={symmetric}, flush_runs={flush_runs}, "
-            f"paired={paired}): {msg[:400]}",
+            f"paired={paired}): {type(e).__name__}: {str(e)[:400]}",
             file=sys.stderr,
         )
-        ok, persist = False, definite
+        ok = False
     _MOSAIC_PROBE[key] = ok
-    if persist:
+    if ok:
         disk[disk_key] = ok
         _save_disk_cache(disk)
     return ok

@@ -888,11 +888,13 @@ def test_sr_mosaic_probe_falls_back_to_xla(monkeypatch, tmp_path):
     assert pm.SR_FLUSH_RUNS is True  # nothing to flip to
 
 
-def test_sr_mosaic_probe_transient_failures_not_persisted(
-        monkeypatch, tmp_path):
-    """A tunnel/remote-compile hiccup must not brand the kernel as
-    rejected forever: ambiguous errors stay process-local while definite
-    lowering rejections persist."""
+def test_sr_mosaic_probe_failures_never_persisted(monkeypatch, tmp_path):
+    """A probe failure of ANY flavor must not brand the kernel as
+    rejected forever: error text cannot reliably separate a genuine
+    Mosaic rejection from a transient remote-compile failure whose
+    message happens to contain a classifier token ('unsupported',
+    'lowering', ...), so only acceptances persist to disk and rejections
+    re-probe per process."""
     import json
     import os
 
@@ -905,6 +907,8 @@ def test_sr_mosaic_probe_transient_failures_not_persisted(
     persisted = json.load(open(cache)) if os.path.exists(cache) else {}
     assert not [k for k in persisted if k.startswith("sr_mosaic|")]
 
+    # A definite-looking rejection does not persist either; the flushless
+    # acceptance that heals it does.
     definite = Exception("Mosaic lowering failed: unsupported op")
     monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
     outcomes = {(False, True, False): definite, (False, False, False): None}
@@ -915,5 +919,64 @@ def test_sr_mosaic_probe_transient_failures_not_persisted(
     assert pm._use_pallas_sweep(100) is True
     persisted = json.load(open(cache))
     keys = sorted(k for k in persisted if k.startswith("sr_mosaic|"))
-    assert len(keys) == 2  # the rejection AND the flushless acceptance
-    assert sorted(persisted[k] for k in keys) == [False, True]
+    assert len(keys) == 1  # ONLY the flushless acceptance
+    assert [persisted[k] for k in keys] == [True]
+    # The acceptance key carries the layout knobs the probe kernel baked
+    # in, so retuning SR_CHUNK/SLAB re-probes instead of reusing a
+    # verdict for a different kernel.
+    assert f"|{pm.SR_CHUNK}|{pm.SLAB}|" in keys[0]
+
+    # A stale False written by an older classifier is ignored on read.
+    monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
+    stale = {k: False for k in json.load(open(cache))}
+    json.dump(stale, open(cache, "w"))
+    calls = []
+    monkeypatch.setattr(
+        pm, "_sr_probe_compile",
+        lambda s, f, p: calls.append((s, f, p)))
+    assert pm._use_pallas_sweep(100) is True
+    assert calls  # re-probed rather than trusting the stale rejection
+
+
+def test_sr_mosaic_rejection_warns_once(monkeypatch, tmp_path, capsys):
+    """The wholesale-rejection notice prints once per process, not once
+    per retrace (an unattended run rebuilds blocks for hours)."""
+    reject = Exception("Mosaic lowering failed: unsupported op")
+    _probe_env(
+        monkeypatch, tmp_path,
+        {(False, True, False): reject, (False, False, False): reject})
+    monkeypatch.setattr(pm, "_SR_WARNED", set())
+    assert pm._use_pallas_sweep(100) is False
+    assert pm._use_pallas_sweep(100) is False
+    assert pm._use_pallas_sweep(200) is False
+    err = capsys.readouterr().err
+    assert err.count("Mosaic rejected the Pallas SR sweep") == 1
+
+
+def test_sr_agreed_verdicts_broadcast_from_process_zero(monkeypatch,
+                                                        tmp_path):
+    """Multi-process runs must agree on ONE sweep implementation: a
+    non-zero process never probes locally (its transient failure would
+    diverge the traced program from process 0's) — it takes process 0's
+    broadcast verdicts."""
+    calls = _probe_env(monkeypatch, tmp_path, {})
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+
+    received = []
+
+    def fake_broadcast(x):
+        received.append(np.asarray(x))
+        return np.asarray([1, 0], dtype=np.int32)  # process 0 said: accepted
+
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all",
+                        fake_broadcast)
+    assert pm._sr_agreed_verdicts(False, True, False) == (True, False)
+    assert calls == []  # process 1 never ran a probe compile
+    # Process 1's placeholder contribution is all-False (broadcast_one_to_all
+    # ignores non-source inputs but they must be well-formed).
+    assert received and received[0].tolist() == [0, 0]
