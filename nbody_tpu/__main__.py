@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "from the initial state's max cell occupancy; "
                         "overflowing cells fall back to mesh-quality "
                         "forces)")
+    p.add_argument("--pm-boundary", default="open",
+                   choices=["open", "periodic"],
+                   help="mesh-solver boundary: open = isolated system in "
+                        "vacuum (adaptive box; default), periodic = fixed "
+                        "cubic box, forces of all images minus the uniform "
+                        "background (the cosmological convention; "
+                        "--kernel pm only)")
+    p.add_argument("--pm-box", type=float, default=0.0, metavar="L",
+                   help="periodic box edge for --pm-boundary periodic "
+                        "(positions are wrapped into [0, L))")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
@@ -183,6 +193,7 @@ def main(argv=None) -> int:
         kernel=args.kernel, tile_i=args.tile_i or args.dim0,
         tile_j=args.tile_j or args.dim1, pm_grid=args.pm_grid,
         pm_cutoff=args.pm_cutoff, pm_capacity=args.pm_capacity,
+        pm_boundary=args.pm_boundary, pm_box=args.pm_box,
         autotune=args.autotune,
         autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,

@@ -36,6 +36,12 @@ class SimConfig:
     pm_sr_slabs: int = 0  # P3M short-range table slabs (0 = data-driven
     # at block build / guaranteed bound; pm.suggest_sr_plan)
     pm_sr_entries: int = 0  # P3M worklist entries (0 = same)
+    pm_boundary: str = "open"  # open (vacuum, adaptive box) | periodic
+    # (fixed cubic box; forces of all images minus the uniform
+    # background — the cosmological convention; ops/pm.py "Periodic-box
+    # boundary mode")
+    pm_box: float = 0.0  # periodic box edge (required > 0 for periodic;
+    # positions are wrapped into [0, pm_box) inside the solver)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -88,6 +94,26 @@ class SimConfig:
             raise ValueError(
                 f"unknown precision {self.precision!r}; options: {PRECISIONS}"
             )
+        if self.pm_boundary not in ("open", "periodic"):
+            raise ValueError(
+                f"unknown pm boundary {self.pm_boundary!r}; options: "
+                "'open', 'periodic'"
+            )
+        if self.pm_boundary == "periodic":
+            if self.kernel not in ("pm",):
+                raise ValueError(
+                    "--pm-boundary periodic is a mesh-solver mode; it "
+                    "requires --kernel pm (periodic P3M is not supported "
+                    "yet)"
+                )
+            if self.pm_box <= 0:
+                raise ValueError(
+                    "--pm-boundary periodic requires --pm-box L > 0 (the "
+                    "fixed cubic box edge)"
+                )
+        elif self.pm_box:
+            raise ValueError("--pm-box only applies to --pm-boundary "
+                             "periodic")
         if self.kernel in ("pm", "p3m") and self.precision == "bf16":
             # The mesh solver is fp32-only; silently running fp32 while
             # reporting bf16 would misrepresent the configuration
@@ -125,6 +151,9 @@ class SimConfig:
                 opts["sr_slabs"] = self.pm_sr_slabs
             if self.pm_sr_entries:
                 opts["sr_entries"] = self.pm_sr_entries
+            if self.pm_boundary != "open":
+                opts["boundary"] = self.pm_boundary
+                opts["box_size"] = self.pm_box
         if self.precision == "bf16":
             if resolved in ("pm", "p3m"):  # post-construction mutation path
                 raise ValueError(

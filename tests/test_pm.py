@@ -352,3 +352,182 @@ def test_pm_watchdog_feedback_from_measured_step(monkeypatch):
     # the MAIN block (10 steps) was built per-step despite the tiny
     # heuristic estimate
     assert (10, True) in builds, builds
+
+
+# ---------------------------------------------------------------------------
+# Periodic-box boundary mode (ops/pm.py "Periodic-box boundary mode")
+# ---------------------------------------------------------------------------
+
+
+def _kspace_reference(pos, mass, box, kmax=56):
+    """Independent fp64 direct Fourier-series sum of the periodic
+    softened-Plummer forces: a_i = (G/L^3) sum_{k!=0} Re[i k phi_hat(k)
+    rho_hat(k) e^{ik.x_i}] with phi_hat = 4 pi (eps k) K1(eps k) / k^2
+    (scipy Bessel, no grids, no FFTs — absolutely convergent thanks to
+    the e^{-eps k} decay; truncation tail at kmax=56, eps=0.0316, L=1
+    is ~1e-4 relative).  This is the ground truth the solver's CIC+FFT
+    pipeline is measured against."""
+    import scipy.special as sp
+
+    L = float(box)
+    eps = np.sqrt(1e-3)
+    G = 6.67259e-11
+    p = pos.astype(np.float64)
+    m = mass.astype(np.float64)
+    n1 = np.arange(-kmax, kmax + 1)
+    ky, kz = np.meshgrid(2 * np.pi / L * n1, 2 * np.pi / L * n1,
+                         indexing="ij")
+    acc = np.zeros((3, p.shape[1]))
+    for nx in n1:  # slab over kx keeps memory bounded
+        kx = 2 * np.pi / L * nx
+        kvec = np.stack([np.full_like(ky, kx), ky, kz]).reshape(3, -1)
+        k2 = (kvec ** 2).sum(axis=0)
+        kk = np.where(k2 > 0, np.sqrt(k2), 1.0)  # k=0 masked below
+        phih = np.where(k2 > 0, 4 * np.pi * eps * sp.k1(kk * eps) / kk, 0.0)
+        rho = (m[None, :] * np.exp(-1j * kvec.T @ p)).sum(axis=1)
+        wave = np.exp(1j * kvec.T @ p)  # (K2, N)
+        coef = 1j * kvec * (phih * rho)[None, :]  # (3, K2)
+        acc += (coef @ wave).real
+    return G / L ** 3 * acc
+
+
+def test_pm_periodic_xk1_vs_scipy():
+    """The fp32 A&S polynomial g(x) = x K1(x) used for the closed-form
+    periodic kernel spectrum, against scipy's fp64 Bessel."""
+    import scipy.special as sp
+
+    x = np.concatenate([[0.0, 1e-6, 1e-3], np.linspace(0.01, 30.0, 400)])
+    got = np.asarray(pm._xk1(x), np.float64)
+    want = np.where(x > 0, x * sp.k1(np.maximum(x, 1e-300)), 1.0)
+    assert np.all(np.abs(got - want) <= 2e-6 + 1e-5 * np.abs(want)), (
+        np.abs(got - want).max())
+
+
+def test_pm_periodic_vs_kspace_sum():
+    """CIC+FFT periodic solve vs the independent direct k-space sum:
+    the same CIC-limited error scaling as the open solver (module
+    docstring: 3.7e-2 / 5.8e-3 at ng=32/64)."""
+    rng = np.random.default_rng(11)
+    pos = np.asarray(rng.random((3, 16)), np.float32)
+    mass = np.asarray(1.0 + rng.random(16), np.float32)
+    a_ref = _kspace_reference(pos, mass, 1.0)
+    errs = {}
+    for ng in (32, 64):
+        a = np.asarray(pm.accelerations(pos, mass, grid=ng,
+                                        boundary="periodic", box_size=1.0))
+        errs[ng] = (np.linalg.norm(a - a_ref)
+                    / np.linalg.norm(a_ref))
+    assert errs[32] < 7e-2, errs
+    assert errs[64] < 1.5e-2, errs
+    assert errs[64] < errs[32], errs
+
+
+def test_pm_periodic_momentum_and_wrap():
+    """Momentum conservation (antisymmetric kernel), exact-image
+    invariance (positions shifted by whole boxes), and zero-mass
+    padding neutrality in the periodic solver."""
+    rng = np.random.default_rng(12)
+    pos = np.asarray(rng.random((3, 512)), np.float32)
+    mass = np.asarray(rng.random(512), np.float32)
+    acc = np.asarray(pm.accelerations(pos, mass, grid=32,
+                                      boundary="periodic", box_size=1.0))
+    p_dot = (mass * acc).sum(axis=1)
+    scale = np.abs(mass[None, :] * acc).sum(axis=1) + 1e-30
+    assert np.all(np.abs(p_dot) / scale < 1e-4), p_dot / scale
+    # whole-box image shifts change nothing (up to the fp32 rounding of
+    # pos+shift itself)
+    shift = np.asarray(rng.integers(-3, 4, (3, 512)), np.float32)
+    acc_s = np.asarray(pm.accelerations(pos + shift, mass, grid=32,
+                                        boundary="periodic", box_size=1.0))
+    num = np.linalg.norm(acc_s - acc)
+    assert num / np.linalg.norm(acc) < 1e-3, num / np.linalg.norm(acc)
+    # zero-mass padding (even far outside the box: it wraps) leaves the
+    # real particles' forces bit-identical
+    pos2 = np.concatenate(
+        [pos, 1e6 + np.tile(np.arange(64, dtype=np.float32), (3, 1))], axis=1
+    )
+    mass2 = np.concatenate([mass, np.zeros(64, np.float32)])
+    acc2 = np.asarray(pm.accelerations(pos2, mass2, grid=32,
+                                       boundary="periodic", box_size=1.0))
+    np.testing.assert_array_equal(acc2[:, :512], acc)
+    assert np.isfinite(acc2).all()
+
+
+def test_pm_periodic_uniform_background_subtraction():
+    """A mesh-aligned uniform lattice is pure background: density
+    contrast zero everywhere, so forces vanish (vs O(G*N/L^2) for the
+    same masses scattered randomly)."""
+    g1 = (np.arange(8, dtype=np.float32) + 0.5) / 8.0
+    gx, gy, gz = np.meshgrid(g1, g1, g1, indexing="ij")
+    pos = np.stack([gx.ravel(), gy.ravel(), gz.ravel()])
+    mass = np.ones(512, np.float32)
+    a_lat = np.asarray(pm.accelerations(pos, mass, grid=32,
+                                        boundary="periodic", box_size=1.0))
+    rng = np.random.default_rng(13)
+    a_rnd = np.asarray(pm.accelerations(
+        np.asarray(rng.random((3, 512)), np.float32), mass, grid=32,
+        boundary="periodic", box_size=1.0))
+    assert np.abs(a_lat).max() < 1e-3 * np.abs(a_rnd).max(), (
+        np.abs(a_lat).max(), np.abs(a_rnd).max())
+
+
+def test_pm_periodic_autodiff_flows():
+    """The wrap is identity a.e. and the kernel spectrum is a trace
+    constant: jax.grad flows (same structural contract as the open
+    solver's autodiff test)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(14)
+    pos = np.asarray(rng.random((3, 128)), np.float32)
+    mass = np.asarray(rng.random(128), np.float32)
+
+    def loss(p):
+        a = pm.accelerations(p, jnp.asarray(mass), grid=32,
+                             boundary="periodic", box_size=1.0)
+        return (a * a).sum()
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(pos))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_pm_periodic_sharded_matches_single():
+    """Sharded periodic solve (local deposit -> ONE grid psum ->
+    replicated spectral solve -> local gather) agrees with the
+    single-device block through the engine."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    kw = dict(n=512, nsteps=50, kernel="pm", pm_grid=32,
+              pm_boundary="periodic", pm_box=8.0)
+    res = run(SimConfig(shards=4, comm="allgather", **kw), quiet=True)
+    ref = run(SimConfig(**kw), quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
+        assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)
+
+
+def test_pm_periodic_option_validation():
+    """Boundary-mode option errors at both the config and solver layers."""
+    from nbody_tpu.config import SimConfig
+
+    pos, mass = _random_system(64, seed=9)
+    with pytest.raises(ValueError, match="boundary"):
+        pm.accelerations(pos, mass, grid=32, boundary="reflecting")
+    with pytest.raises(ValueError, match="box_size"):
+        pm.accelerations(pos, mass, grid=32, boundary="periodic")
+    with pytest.raises(NotImplementedError, match="P3M"):
+        pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                         boundary="periodic", box_size=1.0)
+    with pytest.raises(ValueError, match="kernel pm"):
+        SimConfig(kernel="naive", pm_boundary="periodic", pm_box=1.0)
+    with pytest.raises(ValueError, match="pm-box"):
+        SimConfig(kernel="pm", pm_boundary="periodic")
+    with pytest.raises(ValueError, match="pm-box"):
+        SimConfig(kernel="pm", pm_box=1.0)
+    opts = SimConfig(kernel="pm", pm_boundary="periodic",
+                     pm_box=2.5).kernel_opts()
+    assert opts.get("boundary") == "periodic"
+    assert opts.get("box_size") == 2.5
+    # open mode passes no boundary opts at all (solver defaults rule)
+    assert "boundary" not in SimConfig(kernel="pm").kernel_opts()
