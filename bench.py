@@ -25,10 +25,14 @@ REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
 # fused).  Small-N configs use long step counts so the timing signal
 # dominates per-run jitter (~tens of ms on tunneled backends); the rate is
 # steady-state either way.
-# (name, precision, N, timed steps, fused, kernel-override).  A None
+# (name, precision, N, timed steps, fused, kernel-override[, extra
+# SimConfig kwargs]).  A None
 # kernel uses the --kernel argument; the pm rows pin the O(N log N) mesh
 # tier, whose gflops_model/pairs_per_sec report EQUIVALENT exact-model
 # work per second (the mesh solve does O(ng^3 log ng + N) actual work).
+# The periodic row boxes the reference's U(0,1)^3 ICs at L=1 — expected
+# FASTER than open p3m (ng^3 FFTs instead of (2 ng)^3, no per-step
+# kernel transforms).
 SUITE = (
     ("parity-n2000", "f32", 2000, 20000, False, None),
     ("parity-n2000-fused", "f32", 2000, 20000, True, None),
@@ -38,6 +42,8 @@ SUITE = (
     ("n4m", "f32", 4194304, 2, False, None),  # host-chunked executables
     ("n4m-pm-equivalent", "f32", 4194304, 8, False, "pm"),
     ("n1m-p3m-equivalent", "f32", 1048576, 8, False, "p3m"),
+    ("n1m-p3m-periodic", "f32", 1048576, 8, False, "p3m",
+     {"pm_boundary": "periodic", "pm_box": 1.0}),
 )
 
 
@@ -45,9 +51,10 @@ def _suite(kernel: str) -> int:
     from nbody_tpu.config import SimConfig
     from nbody_tpu.utils.flops import pairs_per_step, step_gflops
 
-    for name, precision, n, steps, fused, kernel_pin in SUITE:
+    for name, precision, n, steps, fused, kernel_pin, *extra in SUITE:
         cfg = SimConfig(n=n, nsteps=steps, kernel=kernel_pin or kernel,
-                        precision=precision, fused=fused)
+                        precision=precision, fused=fused,
+                        **(extra[0] if extra else {}))
         half = max(1, steps // 2)
         # Pin both runs to the regime the LONGER run needs: the
         # difference method assumes identical per-step machinery, and

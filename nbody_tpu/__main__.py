@@ -71,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "vacuum (adaptive box; default), periodic = fixed "
                         "cubic box, forces of all images minus the uniform "
                         "background (the cosmological convention; "
-                        "--kernel pm only)")
+                        "--kernel pm or p3m)")
     p.add_argument("--pm-box", type=float, default=0.0, metavar="L",
                    help="periodic box edge for --pm-boundary periodic "
                         "(positions are wrapped into [0, L))")

@@ -36,6 +36,7 @@ class SimConfig:
     pm_sr_slabs: int = 0  # P3M short-range table slabs (0 = data-driven
     # at block build / guaranteed bound; pm.suggest_sr_plan)
     pm_sr_entries: int = 0  # P3M worklist entries (0 = same)
+    pm_sr_ghosts: int = 0  # periodic-P3M ghost-image slots (0 = same)
     pm_boundary: str = "open"  # open (vacuum, adaptive box) | periodic
     # (fixed cubic box; forces of all images minus the uniform
     # background — the cosmological convention; ops/pm.py "Periodic-box
@@ -100,11 +101,10 @@ class SimConfig:
                 "'open', 'periodic'"
             )
         if self.pm_boundary == "periodic":
-            if self.kernel not in ("pm",):
+            if self.kernel not in ("pm", "p3m"):
                 raise ValueError(
                     "--pm-boundary periodic is a mesh-solver mode; it "
-                    "requires --kernel pm (periodic P3M is not supported "
-                    "yet)"
+                    "requires --kernel pm or p3m"
                 )
             if self.pm_box <= 0:
                 raise ValueError(
@@ -151,6 +151,8 @@ class SimConfig:
                 opts["sr_slabs"] = self.pm_sr_slabs
             if self.pm_sr_entries:
                 opts["sr_entries"] = self.pm_sr_entries
+            if self.pm_sr_ghosts:
+                opts["sr_ghosts"] = self.pm_sr_ghosts
             if self.pm_boundary != "open":
                 opts["boundary"] = self.pm_boundary
                 opts["box_size"] = self.pm_box

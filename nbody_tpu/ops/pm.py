@@ -163,9 +163,11 @@ def _gather(grids, pos, lo, inv_h, ng):
     return out
 
 
-def _cic_sharpen(ng: int):
-    """Inverse squared CIC assignment window on the doubled grid —
-    the Hockney & Eastwood influence-function compensation.  Deposit and
+def _cic_sharpen(ng: int, m: int = 0):
+    """Inverse squared CIC assignment window on an ``m``-point grid
+    (default the doubled open-boundary grid, 2 ng; the periodic solver
+    passes m = ng) — the Hockney & Eastwood influence-function
+    compensation.  Deposit and
     gather each convolve with the CIC (order-2 B-spline) window, whose
     per-axis spectrum is sinc^2(pi f); dividing the force-kernel spectra
     by W^2 = prod_axis sinc^4 undoes that smoothing to leading order,
@@ -174,7 +176,7 @@ def _cic_sharpen(ng: int):
     docs/DESIGN.md).  The window is even and real, so the compensated
     kernel stays exactly antisymmetric: momentum conservation and zero
     self-force are untouched."""
-    m = 2 * ng
+    m = m or 2 * ng
     j = jnp.arange(m)
     jt = jnp.minimum(j, m - j).astype(jnp.float32)  # |signed freq index|
     x = jnp.pi * jt / m
@@ -372,17 +374,163 @@ def _deposit_periodic(pos, mass, box, ng: int):
 
 
 def _gather_periodic(grids, pos, box, ng: int):
-    """CIC interpolation of 3 periodic grids at pos -> (3, N) (flat
-    1-D gather like _gather; corners wrap)."""
+    """CIC interpolation of (k, ng, ng, ng) periodic grids at pos ->
+    (k, N) (flat 1-D gather like _gather; corners wrap)."""
     i0, frac = _cic_weights_periodic(pos, box, ng)
-    flat = grids.reshape(3, ng * ng * ng)
-    out = jnp.zeros((3, pos.shape[1]), jnp.float32)
+    flat = grids.reshape(grids.shape[0], ng * ng * ng)
+    out = jnp.zeros((grids.shape[0], pos.shape[1]), jnp.float32)
     for (ix, iy, iz), w in _corner_iter(i0, frac):
         ix = jnp.where(ix >= ng, ix - ng, ix)
         iy = jnp.where(iy >= ng, iy - ng, iy)
         iz = jnp.where(iz >= ng, iz - ng, iz)
         out = out + w * flat[:, (ix * ng + iy) * ng + iz]
     return out
+
+
+# The <=7 image shifts a particle near a box corner needs (one face,
+# two edges isn't possible — each axis contributes at most ONE shift
+# direction since R_c < L/2, so the combinations are subsets of the
+# per-axis signs).
+_GHOST_COMBOS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
+                 (1, 0, 1), (0, 1, 1), (1, 1, 1))
+
+
+def _default_ghost_cap(n: int) -> int:
+    """Static ghost-slot bound when the caller gives none: 2N rounded to
+    a power of two (a uniform box at the coarsest production cutoff
+    R_c = L/8 measures ~0.95N images incl. edge/corner copies), capped
+    at the guaranteed 7N.  DENSITY-BLIND like _auto_capacity — mass
+    piled against a face can exceed it; callers with concrete data use
+    suggest_sr_plan's measured count."""
+    cap = 64
+    while cap < 2 * n:
+        cap *= 2
+    return min(cap, 7 * n)
+
+
+def _ghost_images(pos_w, mass, box, rc, gcap: int):
+    """Periodic ghost images for the short-range pass.
+
+    Every MASSIVE particle within R_c of a box face gets copies shifted
+    by the relevant +-L combinations (<= 7: subsets of the per-axis
+    shift signs, _GHOST_COMBOS), so every cross-boundary min-image
+    neighbor pair becomes a DIRECT pair against some image — the
+    open-boundary sweep kernels then apply unchanged, and a pair that
+    is ALSO within R_c directly cannot double-count (its image copy
+    sits at |d +- L| > L - R_c > R_c: exactly zero taper weight).
+    Ghosts EXERT short-range force only; the forces they receive land
+    in table slots nothing reads.
+
+    Static-shape compaction: candidates pack into ``gcap`` slots by an
+    exclusive cumsum; overflow beyond gcap is DROPPED (those
+    cross-boundary pairs silently degrade to mesh-quality forces —
+    size gcap from suggest_sr_plan's measured count).  Returns
+    (gpos (3, gcap), gmass (gcap,), n_ghost traced scalar)."""
+    f32, i32 = jnp.float32, jnp.int32
+    L = jnp.float32(box)
+    one = jnp.ones((), i32)
+    sig = jnp.where(pos_w < rc, one,
+                    jnp.where(pos_w > L - rc, -one, 0))  # (3, N)
+    cand_pos, cand_ok = [], []
+    for c in _GHOST_COMBOS:
+        cvec = jnp.asarray(c, i32)[:, None]
+        shift = jnp.where(cvec == 1, sig, 0)
+        ok = jnp.all((cvec != 1) | (shift != 0), axis=0) & (mass > 0)
+        cand_pos.append(pos_w + L * shift.astype(f32))
+        cand_ok.append(ok)
+    cpos = jnp.concatenate(cand_pos, axis=1)  # (3, 7N)
+    cok = jnp.concatenate(cand_ok)
+    cmass = jnp.tile(mass, len(_GHOST_COMBOS))
+    idx = jnp.cumsum(cok.astype(i32)) - 1
+    dest = jnp.where(cok & (idx < gcap), idx, gcap)  # gcap = drop slot
+    gpos = jnp.zeros((3, gcap + 1), f32).at[:, dest].set(cpos)[:, :gcap]
+    gmass = jnp.zeros((gcap + 1,), f32).at[dest].set(
+        jnp.where(cok, cmass, f32(0)))[:gcap]
+    return gpos, gmass, jnp.sum(cok.astype(i32))
+
+
+def _periodic_cells(ng: int, cutoff_cells: int):
+    """Cell-list geometry for the periodic short-range pass: the core
+    grid is ``nc`` cells across the box; ghost images extend it by
+    ``sub`` cells per side (R_c = sub * box/nc is exactly the margin),
+    so every min-image neighbor pair is a direct pair on the extended
+    (nc + 2 sub)^3 grid.  R_c must fit strictly inside half the box
+    (distinct images / complement support must not wrap onto itself):
+    nc >= 2 sub + 1."""
+    nc, sub = _cell_grid_params(ng, int(cutoff_cells))
+    if nc < 2 * sub + 1:
+        raise ValueError(
+            f"periodic P3M needs R_c < box/2 (cell grid nc >= "
+            f"{2 * sub + 1}); got nc={nc} from grid={ng}, "
+            f"cutoff_cells={cutoff_cells} — raise grid or lower "
+            "cutoff_cells")
+    return nc, sub
+
+
+def _periodic_p3m_spectra(box, ng: int, rc2):
+    """(combined long-range C_j, complement S_j) force spectra for
+    periodic P3M, each a 3-tuple of (ng, ng, ng) complex64.
+
+    The complement kernel s_j(d) = d_j (1 - S(r^2/R_c^2)) u^3 is
+    sampled with MINIMUM-IMAGE displacements — its support R_c < L/2
+    puts exactly one image at every grid point, so the single sampled
+    kernel IS the periodic complement — and transformed (3 fftns of
+    ng^3: 1/16 the transform volume of the open P3M kernel build).
+    The long-range part combines it with the closed-form full
+    spectrum:  C_j = (i k_j phi_hat + s_hat_j) W,  S_j = s_hat_j W,
+    with phi_hat the periodic Plummer potential spectrum
+    (_periodic_phi_spectrum: a_full = ifftn(rho_hat i k phi_hat)) and
+    W the CIC-deconvolution sharpening (_cic_sharpen on the ng grid —
+    safe here, unlike plain periodic pm at ng=32, because the tapered
+    kernel is band-limited on the R_c >> h scale; measured in
+    tests/test_pm.py vs the direct k-space sum).  Signs: the open
+    solver computes a = -ifftn(rho_hat f_hat) for a sampled kernel, so
+    a_lr = -(rho * (f - s)) = ifftn(rho_hat (i k phi_hat + s_hat)) and
+    the complement field of mass x is -ifftn(rho_x_hat S_j)."""
+    f32 = jnp.float32
+    idx = jnp.arange(ng)
+    # min-image displacement per axis; the ambiguous ng/2 point (+-L/2)
+    # has zero complement weight either way (R_c < L/2).
+    d1 = (jnp.where(idx <= ng // 2, idx, idx - ng).astype(f32)
+          * (f32(box) / f32(ng)))
+    rx = d1[:, None, None]
+    ry = d1[None, :, None]
+    rz = d1[None, None, :]
+    r2 = rx * rx + ry * ry + rz * rz
+    u = jax.lax.rsqrt(r2 + jnp.float32(SOFTENING_SQUARED))
+    w1 = (jnp.float32(1.0) - _taper(r2 / rc2)) * (u * u * u)
+    phi = _periodic_phi_spectrum(box, ng)
+    k1d = _periodic_kvecs(box, ng)
+    kaxes = (k1d[:, None, None], k1d[None, :, None], k1d[None, None, :])
+    W = _cic_sharpen(ng, m=ng)
+    comb, comp = [], []
+    for dj, kc in zip((rx, ry, rz), kaxes):
+        s_hat = jnp.fft.fftn(dj * w1)
+        comp.append(s_hat * W)
+        comb.append((1j * kc * phi + s_hat) * W)
+    return tuple(comb), tuple(comp)
+
+
+def periodic_potential_energy(pos, mass, box: float,
+                              grid: int = DEFAULT_GRID) -> jax.Array:
+    """Background-subtracted periodic potential energy
+    PE = -(G/2) sum_i m_i Phi(x_i), with Phi the mesh-solved periodic
+    potential (k=0 dropped — the finite comoving-box convention; the
+    raw image sum of the softened 1/r potential DIVERGES, so the
+    open-boundary pairwise potential_energy is meaningless here).
+    Mesh quality (CIC-limited), which is what a drift diagnostic needs
+    — it compares E(t) against E(0) under the same definition.  The
+    CIC self-cloud term is included (near-constant, drift-neutral),
+    matching the open PE's kept self term."""
+    ng = int(grid)
+    f32 = jnp.float32
+    pos = pos.astype(f32)
+    mass = mass.astype(f32)
+    rho = _deposit_periodic(pos, mass, box, ng)
+    phi = jnp.fft.ifftn(
+        jnp.fft.fftn(rho) * _periodic_phi_spectrum(box, ng)).real
+    vals = _gather_periodic(phi[None].astype(f32), pos, box, ng)[0]
+    return (-0.5 * f32(G_NEWTON)) * jnp.sum(mass * vals)
 
 
 def _robust_box(pos, mass):
@@ -1480,7 +1628,127 @@ def _periodic_between(pos_tgt, pos_src, mass_src, ng: int, box: float):
     return (acc * jnp.float32(G_NEWTON)).astype(jnp.float32)
 
 
-def _check_boundary(boundary: str, box_size: float, cutoff_cells: int):
+def _periodic_p3m_between(pos_tgt, pos_src, mass_src, same_set: bool,
+                          ng: int, box: float, cutoff_cells: int,
+                          capacity: int, sr_slabs: int, sr_entries: int,
+                          sr_ghosts: int, differentiable: bool):
+    """Periodic P3M: the periodic mesh long-range solve plus the exact
+    short-range correction, via GHOST IMAGES.
+
+    The decomposition is the open P3M's (f = f*S mesh + f*(1-S) exact;
+    see _taper) with two periodic twists:
+
+    * mesh: one ng^3 deposit/FFT against the combined closed-form +
+      sampled-complement long-range spectra (_periodic_p3m_spectra) —
+      no doubled grid, no robust box, no monopoles;
+    * short-range: boundary-crossing min-image pairs become DIRECT
+      pairs by augmenting the sources with <= 7 shifted images of each
+      near-face particle (_ghost_images) on a cell grid extended by
+      ``sub`` ghost cells per side (_periodic_cells) — after which the
+      packed tables, worklist and all sweep kernels (Pallas and XLA,
+      symmetric, paired, differentiable) apply UNCHANGED.
+
+    Degradation contract: dropped ghosts (gcap overflow) and
+    capacity-overflowed cells lose short-range exactness for the
+    affected pairs; overflowed REAL sources/targets keep mesh-quality
+    FULL forces via the complement field like the open solver.  A
+    ghost whose parent binned but which itself overflowed does NOT
+    activate the complement (it would double-count the parent's
+    interior field) — its cross-boundary pairs get long-range-only
+    forces.  Both caps come from suggest_sr_plan's measured counts in
+    engine runs, where the common case is zero overflow."""
+    f32 = jnp.float32
+    nc, sub = _periodic_cells(ng, cutoff_cells)
+    cs = box / nc
+    rc = f32(sub * cs)
+    rc2 = rc * rc
+    src_w = _wrap_box(pos_src, box)
+    tgt_w = src_w if same_set else _wrap_box(pos_tgt, box)
+    ns = pos_src.shape[1]
+    gcap = int(sr_ghosts) or _default_ghost_cap(ns)
+    gpos, gmass, _ = _ghost_images(src_w, mass_src, box, rc, gcap)
+    if same_set:
+        pos_bin = jnp.concatenate([src_w, gpos], axis=1)
+        m_bin = jnp.concatenate([mass_src, gmass])
+        inc = m_bin > 0
+    else:
+        # Distinct targets join as massless receivers (open-path rule).
+        pos_bin = jnp.concatenate([src_w, gpos, tgt_w], axis=1)
+        m_bin = jnp.concatenate(
+            [mass_src, gmass, jnp.zeros((tgt_w.shape[1],), f32)])
+        inc = jnp.concatenate(
+            [mass_src > 0, gmass > 0,
+             jnp.ones((tgt_w.shape[1],), bool)])
+    nc_tot = nc + 2 * sub
+    n_cells_tot = nc_tot ** 3
+    cap, s_max, e_max = _sr_sizing(ns, pos_bin.shape[1], n_cells_tot,
+                                   capacity, sr_slabs, sr_entries)
+    lo_cell = jnp.full((3, 1), f32(-sub * cs))
+    span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
+    cid = _bin_cids(pos_bin, lo_cell, span_tot, nc_tot, inc)
+    ptab, mtab, slab_lo, slab_hi, pslot, binned_all = _sr_pack(
+        cid, pos_bin, m_bin, n_cells_tot, cap, s_max)
+    binned_src = binned_all[:ns]
+    m_over = jnp.where(binned_src, f32(0), mass_src)
+    if same_set:
+        has_over = jnp.any(jnp.logical_and(
+            jnp.logical_not(binned_src), mass_src > 0))
+    else:
+        has_over = jnp.any(jnp.logical_and(
+            jnp.logical_not(binned_src), mass_src > 0)) | jnp.any(
+                jnp.logical_not(binned_all[ns + gcap:]))
+    rho_hat = jnp.fft.fftn(_deposit_periodic(src_w, mass_src, box, ng))
+    comb, comp = _periodic_p3m_spectra(box, ng, rc2)
+
+    def _over(_):
+        roh = jnp.fft.fftn(_deposit_periodic(src_w, m_over, box, ng))
+        g = jnp.stack([jnp.fft.ifftn(rho_hat * c - roh * s).real
+                       for c, s in zip(comb, comp)])
+        cg = jnp.stack([jnp.fft.ifftn((roh - rho_hat) * s).real
+                        for s in comp])
+        return g, cg
+
+    def _plain(_):
+        g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real for c in comb])
+        return g, jnp.zeros_like(g)
+
+    acc_grids, comp_grids = jax.lax.cond(has_over, _over, _plain,
+                                         operand=None)
+    acc = _gather_periodic(acc_grids, tgt_w, box, ng)
+    sym = SR_SYMMETRIC
+    use_pl = _use_pallas_sweep(
+        ptab.shape[1] // SLAB,
+        paired=SR_PAIRED_ROWS and not differentiable)
+    pr = SR_PAIRED_ROWS and use_pl and not differentiable
+    wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc_tot, sub, e_max,
+                                 symmetric=sym, paired=pr)
+    interp = jax.default_backend() != "tpu"
+    if use_pl and not differentiable:
+        atab = _sr_sweep_pallas(
+            ptab, mtab, wl_t, wl_s,
+            (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
+            interpret=interp, symmetric=sym, flush_runs=SR_FLUSH_RUNS,
+            paired=pr)
+    elif use_pl:
+        atab = _sr_sweep_pallas_ad(ptab, mtab, wl_t, wl_s, n_e, rc2,
+                                   (SR_CHUNK, interp, sym,
+                                    SR_FLUSH_RUNS))
+    else:
+        atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
+                         static_bound=differentiable, symmetric=sym)
+    tgt_slot = pslot[:ns] if same_set else pslot[ns + gcap:]
+    tgt_binned = binned_all[:ns] if same_set else binned_all[ns + gcap:]
+    a_sr = atab[:, tgt_slot]
+    a_comp = jax.lax.cond(
+        has_over,
+        lambda _: _gather_periodic(comp_grids, tgt_w, box, ng),
+        lambda _: jnp.zeros((3, tgt_w.shape[1]), f32),
+        operand=None)
+    acc = acc + jnp.where(tgt_binned[None, :], a_sr, a_comp)
+    return (acc * f32(G_NEWTON)).astype(f32)
+
+
+def _check_boundary(boundary: str, box_size: float):
     """Validate the boundary-mode options (shared by the single-device
     and sharded entry points).  Returns True for periodic."""
     if boundary not in ("open", "periodic"):
@@ -1492,11 +1760,6 @@ def _check_boundary(boundary: str, box_size: float, cutoff_cells: int):
         raise ValueError(
             "boundary='periodic' needs box_size > 0 (the fixed cubic "
             "box edge; positions are wrapped into [0, box_size))")
-    if cutoff_cells:
-        raise NotImplementedError(
-            "periodic P3M (cutoff_cells > 0) is not supported yet; use "
-            "boundary='periodic' with the plain pm kernel, or "
-            "boundary='open' for P3M")
     return True
 
 
@@ -1509,6 +1772,7 @@ def accelerations_between(
     capacity: int = 0,
     sr_slabs: int = 0,
     sr_entries: int = 0,
+    sr_ghosts: int = 0,
     differentiable: bool = False,
     boundary: str = "open",
     box_size: float = 0.0,
@@ -1570,9 +1834,14 @@ def accelerations_between(
     mass_src = mass_src.astype(f32)
     if same_set:
         pos_tgt = pos_src
-    if _check_boundary(boundary, box_size, cutoff_cells):
-        return _periodic_between(pos_tgt, pos_src, mass_src, ng,
-                                 float(box_size))
+    if _check_boundary(boundary, box_size):
+        if not cutoff_cells:
+            return _periodic_between(pos_tgt, pos_src, mass_src, ng,
+                                     float(box_size))
+        return _periodic_p3m_between(
+            pos_tgt, pos_src, mass_src, same_set, ng, float(box_size),
+            int(cutoff_cells), capacity, sr_slabs, sr_entries,
+            int(sr_ghosts), differentiable)
     lo_box, hi_box = _robust_box(pos_src, mass_src)
     span = hi_box - lo_box
     in_src = _inside(pos_src, lo_box, hi_box)  # (Ns,) f32
@@ -1686,6 +1955,7 @@ def sharded_accelerations(
     capacity: int = 0,
     sr_slabs: int = 0,
     sr_entries: int = 0,
+    sr_ghosts: int = 0,
     boundary: str = "open",
     box_size: float = 0.0,
     **_opts,
@@ -1730,15 +2000,103 @@ def sharded_accelerations(
     def psum(x):
         return lax.psum(x, axis)
 
-    if _check_boundary(boundary, box_size, cutoff_cells):
+    if _check_boundary(boundary, box_size):
         # Periodic sharded solve is the simplest decomposition of all:
         # the box is STATIC (no psum'd extents), so it is local deposit
         # -> ONE grid psum -> replicated spectral solve (the kernel
         # spectrum is a trace constant) -> local gather.
         box = float(box_size)
         rho = psum(_deposit_periodic(pos_l, mass_l, box, ng))
-        acc_grids = _pm_force_grids_periodic(jnp.fft.fftn(rho), box, ng)
-        acc = _gather_periodic(acc_grids, pos_l, box, ng)
+        if not cutoff_cells:
+            acc_grids = _pm_force_grids_periodic(jnp.fft.fftn(rho), box,
+                                                 ng)
+            acc = _gather_periodic(acc_grids, pos_l, box, ng)
+            return (acc * f32(G_NEWTON)).astype(f32)
+        # Periodic P3M: mesh half local+psum as above; the short-range
+        # half follows the open sharded recipe — all-gather sources
+        # ONCE (the particle axis is index-sharded, not spatial), build
+        # the ghost images and tables REPLICATED (deterministic, so
+        # shards agree), split the worklist's entry chunks across
+        # shards, one psum of the per-slot table.
+        nl = pos_l.shape[1]
+        src_w = _wrap_box(pos_l, box)
+        pos_all = lax.all_gather(src_w, axis, axis=1, tiled=True)
+        m_all = lax.all_gather(mass_l, axis, axis=0, tiled=True)
+        nc, sub = _periodic_cells(ng, cutoff_cells)
+        cs = box / nc
+        rc = f32(sub * cs)
+        rc2 = rc * rc
+        n_all = pos_all.shape[1]
+        gcap = int(sr_ghosts) or _default_ghost_cap(n_all)
+        gpos, gmass, _ = _ghost_images(pos_all, m_all, box, rc, gcap)
+        pos_bin = jnp.concatenate([pos_all, gpos], axis=1)
+        m_bin = jnp.concatenate([m_all, gmass])
+        nc_tot = nc + 2 * sub
+        n_cells_tot = nc_tot ** 3
+        cap, s_max, e_max = _sr_sizing(n_all, pos_bin.shape[1],
+                                       n_cells_tot, capacity, sr_slabs,
+                                       sr_entries)
+        lo_cell = jnp.full((3, 1), f32(-sub * cs))
+        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
+        cid = _bin_cids(pos_bin, lo_cell, span_tot, nc_tot, m_bin > 0)
+        ptab, mtab, slab_lo, slab_hi, pslot, binned = _sr_pack(
+            cid, pos_bin, m_bin, n_cells_tot, cap, s_max)
+        i0 = lax.axis_index(axis) * nl
+        binned_l = lax.dynamic_slice(binned, (i0,), (nl,))
+        m_over_l = jnp.where(binned_l, f32(0), mass_l)
+        rho_over = psum(_deposit_periodic(pos_l, m_over_l, box, ng))
+        has_over = jnp.any(jnp.logical_and(
+            jnp.logical_not(binned[:n_all]), m_all > 0))
+        rho_hat = jnp.fft.fftn(rho)
+        comb, comp = _periodic_p3m_spectra(box, ng, rc2)
+
+        def _over(_):
+            roh = jnp.fft.fftn(rho_over)
+            g = jnp.stack([jnp.fft.ifftn(rho_hat * c - roh * s).real
+                           for c, s in zip(comb, comp)])
+            cg = jnp.stack([jnp.fft.ifftn((roh - rho_hat) * s).real
+                            for s in comp])
+            return g, cg
+
+        def _plain(_):
+            g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real
+                           for c in comb])
+            return g, jnp.zeros_like(g)
+
+        acc_grids, comp_grids = jax.lax.cond(has_over, _over, _plain,
+                                             operand=None)
+        acc = _gather_periodic(acc_grids, src_w, box, ng)
+        sym = SR_SYMMETRIC
+        use_pl = _use_pallas_sweep(ptab.shape[1] // SLAB,
+                                   paired=SR_PAIRED_ROWS)
+        pr = SR_PAIRED_ROWS and use_pl
+        wl_t, wl_s, n_e = _sr_ranges(slab_lo, slab_hi, nc_tot, sub,
+                                     e_max, symmetric=sym, paired=pr)
+        k_sh = lax.axis_size(axis)
+        k_id = lax.axis_index(axis)
+        if use_pl:
+            e_lim = jnp.minimum(n_e, e_max)
+            per = -((-e_lim) // k_sh)
+            atab = _sr_sweep_pallas(
+                ptab, mtab, wl_t, wl_s,
+                (k_id * per, jnp.minimum((k_id + 1) * per, e_lim)), rc2,
+                interpret=jax.default_backend() != "tpu", symmetric=sym,
+                flush_runs=SR_FLUSH_RUNS, paired=pr)
+        else:
+            chunk = 512
+            nch_total = -((-e_max) // chunk)
+            nch_l = -((-nch_total) // k_sh)
+            atab = _sr_sweep(ptab, mtab, wl_t, wl_s, n_e, rc2,
+                             chunk=chunk, chunk_lo=k_id * nch_l,
+                             chunk_cap=nch_l, symmetric=sym)
+        atab = psum(atab)
+        a_sr = atab[:, lax.dynamic_slice(pslot, (i0,), (nl,))]
+        a_comp = jax.lax.cond(
+            has_over,
+            lambda _: _gather_periodic(comp_grids, src_w, box, ng),
+            lambda _: jnp.zeros((3, nl), f32),
+            operand=None)
+        acc = acc + jnp.where(binned_l[None, :], a_sr, a_comp)
         return (acc * f32(G_NEWTON)).astype(f32)
 
     lo_box, hi_box = _robust_box_sharded(pos_l, mass_l, axis)
@@ -1835,7 +2193,8 @@ def sharded_accelerations(
 def accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
     cutoff_cells: int = 0, capacity: int = 0, sr_slabs: int = 0,
-    sr_entries: int = 0, differentiable: bool = False,
+    sr_entries: int = 0, sr_ghosts: int = 0,
+    differentiable: bool = False,
     boundary: str = "open", box_size: float = 0.0, **_opts
 ) -> jax.Array:
     """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N).
@@ -1854,6 +2213,7 @@ def accelerations(
                                  cutoff_cells=cutoff_cells,
                                  capacity=capacity, sr_slabs=sr_slabs,
                                  sr_entries=sr_entries,
+                                 sr_ghosts=sr_ghosts,
                                  differentiable=differentiable,
                                  boundary=boundary, box_size=box_size)
 
@@ -1861,7 +2221,8 @@ def accelerations(
 def p3m_accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
-    sr_slabs: int = 0, sr_entries: int = 0, differentiable: bool = False,
+    sr_slabs: int = 0, sr_entries: int = 0, sr_ghosts: int = 0,
+    differentiable: bool = False,
     boundary: str = "open", box_size: float = 0.0, **_opts
 ) -> jax.Array:
     """The ``p3m`` registry entry: the mesh solver with the short-range
@@ -1870,6 +2231,7 @@ def p3m_accelerations(
         pos, pos, mass, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
         capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
+        sr_ghosts=sr_ghosts,
         differentiable=differentiable, boundary=boundary,
         box_size=box_size,
     )
@@ -1879,6 +2241,7 @@ def p3m_accelerations_between(
     pos_tgt: jax.Array, pos_src: jax.Array, mass_src: jax.Array,
     grid: int = DEFAULT_GRID, cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
     capacity: int = 0, sr_slabs: int = 0, sr_entries: int = 0,
+    sr_ghosts: int = 0,
     differentiable: bool = False, boundary: str = "open",
     box_size: float = 0.0, **_opts,
 ) -> jax.Array:
@@ -1886,17 +2249,38 @@ def p3m_accelerations_between(
         pos_tgt, pos_src, mass_src, grid=grid,
         cutoff_cells=cutoff_cells or DEFAULT_CUTOFF_CELLS,
         capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
+        sr_ghosts=sr_ghosts,
         differentiable=differentiable, boundary=boundary,
         box_size=box_size,
     )
 
 
-def _cell_counts(pos, mass, grid: int, cutoff_cells: int):
+def _cell_counts(pos, mass, grid: int, cutoff_cells: int,
+                 boundary: str = "open", box_size: float = 0.0):
     """Per-cell in-box massive-particle counts (n_cells,) for the P3M
-    cell list, plus the in-box count (both int32)."""
+    cell list, plus the in-box count (both int32).  Periodic boundaries
+    count on the ghost-extended grid INCLUDING the ghost images (a
+    capacity must cover the ghost cells too — they mirror the densest
+    boundary regions)."""
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
+    if boundary == "periodic":
+        nc, sub = _periodic_cells(int(grid), int(cutoff_cells))
+        box = float(box_size)
+        cs = box / nc
+        src_w = _wrap_box(pos, box)
+        gpos, gmass, _ = _ghost_images(src_w, mass, box, f32(sub * cs),
+                                       7 * pos.shape[1])
+        pos_b = jnp.concatenate([src_w, gpos], axis=1)
+        m_b = jnp.concatenate([mass, gmass])
+        nc_tot = nc + 2 * sub
+        n_cells = nc_tot ** 3
+        lo_cell = jnp.full((3, 1), f32(-sub * cs))
+        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
+        cid = _bin_cids(pos_b, lo_cell, span_tot, nc_tot, m_b > 0)
+        counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(1)[:-1]
+        return counts, jnp.sum((m_b > 0).astype(jnp.int32))
     lo_box, hi_box = _robust_box(pos, mass)
     nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
     n_cells = nc * nc * nc
@@ -1912,6 +2296,7 @@ def _cell_counts(pos, mass, grid: int, cutoff_cells: int):
 def cell_overflow_fraction(
     pos, mass, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
+    boundary: str = "open", box_size: float = 0.0,
 ) -> jax.Array:
     """Fraction of in-box massive particles NOT binned by the P3M cell
     list (capacity overflow).  Overflowed particles keep a mesh-quality
@@ -1920,13 +2305,16 @@ def cell_overflow_fraction(
     those pairs and warrants a larger ``--pm-capacity``."""
     nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
     cap = int(capacity) or _auto_capacity(pos.shape[1], nc ** 3)
-    counts, n_in = _cell_counts(pos, mass, grid, cutoff_cells)
+    counts, n_in = _cell_counts(pos, mass, grid, cutoff_cells,
+                                boundary, box_size)
     return jnp.sum(jnp.maximum(counts - cap, 0)) / jnp.maximum(n_in, 1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _max_occupancy(pos, mass, grid: int, cutoff_cells: int):
-    counts, _ = _cell_counts(pos, mass, grid, cutoff_cells)
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _max_occupancy(pos, mass, grid: int, cutoff_cells: int,
+                   boundary: str = "open", box_size: float = 0.0):
+    counts, _ = _cell_counts(pos, mass, grid, cutoff_cells,
+                             boundary, box_size)
     return jnp.max(counts)
 
 
@@ -1934,6 +2322,7 @@ def suggest_capacity(
     pos, mass, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS,
     headroom: float = 1.25, max_capacity: int = 2048,
+    boundary: str = "open", box_size: float = 0.0,
 ) -> int:
     """HOST-SIDE data-driven cell capacity: the measured max cell
     occupancy x ``headroom``, rounded up to a power of two in
@@ -1945,16 +2334,18 @@ def suggest_capacity(
     super-dense cells overflow to mesh-quality forces by design — the
     exact short-range work in a power-law core grows as occupancy^2 and
     belongs to the exact all-pairs kernels."""
-    occ = int(_max_occupancy(pos, mass, int(grid), int(cutoff_cells)))
+    occ = int(_max_occupancy(pos, mass, int(grid), int(cutoff_cells),
+                             boundary, float(box_size)))
     cap = 64
     while cap < headroom * occ and cap < max_capacity:
         cap *= 2
     return cap
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
-                    symmetric: bool = False):
+                    symmetric: bool = False, boundary: str = "open",
+                    box_size: float = 0.0):
     """Measured (S, E) for the short-range plan: packed slab count and
     the exact worklist entry count _sr_ranges will produce for this
     state (the tables are built at the static ceil(Ns/SLAB)+1 bound
@@ -1965,6 +2356,28 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
     pos = pos.astype(f32)
     mass = mass.astype(f32)
     ns = pos.shape[1]
+    if boundary == "periodic":
+        # The solver's periodic binning at the guaranteed 7N ghost
+        # bound: measures (S, E) AND the exact image count.
+        box = float(box_size)
+        nc, sub = _periodic_cells(int(grid), int(cutoff))
+        cs = box / nc
+        src_w = _wrap_box(pos, box)
+        gpos, gmass, n_ghost = _ghost_images(src_w, mass, box,
+                                             f32(sub * cs), 7 * ns)
+        pos_b = jnp.concatenate([src_w, gpos], axis=1)
+        m_b = jnp.concatenate([mass, gmass])
+        nc_tot = nc + 2 * sub
+        lo_cell = jnp.full((3, 1), f32(-sub * cs))
+        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
+        cid = _bin_cids(pos_b, lo_cell, span_tot, nc_tot, m_b > 0)
+        s_cap = pos_b.shape[1] // SLAB + 2
+        _, _, slab_lo, slab_hi, _, binned = _sr_pack(
+            cid, pos_b, m_b, nc_tot ** 3, int(cap), s_cap)
+        _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc_tot, sub, 1,
+                               symmetric=symmetric)
+        n_bin = jnp.sum(binned.astype(jnp.int32))
+        return n_bin // SLAB + 2, n_e, n_ghost
     lo_box, hi_box = _robust_box(pos, mass)
     nc, sub = _cell_grid_params(int(grid), int(cutoff))
     n_cells = nc * nc * nc
@@ -1978,13 +2391,14 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
     _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1,
                            symmetric=symmetric)
     n_bin = jnp.sum(binned.astype(jnp.int32))
-    return n_bin // SLAB + 2, n_e
+    return n_bin // SLAB + 2, n_e, jnp.zeros((), jnp.int32)
 
 
 def suggest_sr_plan(
     pos, mass, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
-    headroom: float = 1.5,
+    headroom: float = 1.5, boundary: str = "open",
+    box_size: float = 0.0,
 ) -> dict:
     """HOST-SIDE data-driven short-range plan: the measured slab count S
     and worklist entry count E of the CONCRETE state, x ``headroom`` for
@@ -2002,9 +2416,11 @@ def suggest_sr_plan(
     # plan sized for the clipped worklist would silently starve a
     # later full-worklist trace (dropped entries, no error).  The
     # symmetric run just gets ~2x entry headroom.
-    cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells)
-    s, e = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells), cap,
-                           False)
+    cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells,
+                                            boundary=boundary,
+                                            box_size=box_size)
+    s, e, g = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells),
+                              cap, False, boundary, float(box_size))
 
     def pow2_at_least(x):
         v = 64
@@ -2012,11 +2428,17 @@ def suggest_sr_plan(
             v *= 2
         return v
 
-    return {
+    plan = {
         "capacity": cap,
         "sr_slabs": pow2_at_least(int(s) * headroom),
         "sr_entries": pow2_at_least(int(e) * headroom),
     }
+    if boundary == "periodic":
+        # Measured image count (exact for THIS state; headroom for
+        # drift), capped at the guaranteed bound.
+        plan["sr_ghosts"] = min(pow2_at_least(int(g) * headroom),
+                                7 * pos.shape[1])
+    return plan
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

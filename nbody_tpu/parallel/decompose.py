@@ -189,7 +189,8 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
             key: v
             for key, v in kernel_opts.items()
             if key in ("grid", "cutoff_cells", "capacity",
-                       "sr_slabs", "sr_entries", "boundary", "box_size")
+                       "sr_slabs", "sr_entries", "sr_ghosts",
+                       "boundary", "box_size")
         }
         if kernel_name == "p3m":
             popts.setdefault("cutoff_cells", pm_ops.DEFAULT_CUTOFF_CELLS)

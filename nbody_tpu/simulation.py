@@ -145,8 +145,10 @@ class _DeviceRunner(_BlockRunner):
             # the data inside the compiled block — size them here from
             # the CONCRETE initial state (clustered cores make occupancy
             # wildly data-dependent; pm.suggest_sr_plan).
+            periodic = cfg.pm_boundary == "periodic"
             if not (cfg.pm_capacity and cfg.pm_sr_slabs
-                    and cfg.pm_sr_entries):
+                    and cfg.pm_sr_entries
+                    and (cfg.pm_sr_ghosts or not periodic)):
                 from .ops.pm import (
                     DEFAULT_CUTOFF_CELLS,
                     DEFAULT_GRID,
@@ -158,11 +160,15 @@ class _DeviceRunner(_BlockRunner):
                     cfg.pm_grid or DEFAULT_GRID,
                     cfg.pm_cutoff or DEFAULT_CUTOFF_CELLS,
                     capacity=cfg.pm_capacity,
+                    boundary=cfg.pm_boundary, box_size=cfg.pm_box,
                 )
                 cfg.pm_capacity = plan["capacity"]
                 cfg.pm_sr_slabs = cfg.pm_sr_slabs or plan["sr_slabs"]
                 cfg.pm_sr_entries = (cfg.pm_sr_entries
                                      or plan["sr_entries"])
+                if periodic:
+                    cfg.pm_sr_ghosts = (cfg.pm_sr_ghosts
+                                        or plan["sr_ghosts"])
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"
@@ -498,6 +504,17 @@ class _DeviceRunner(_BlockRunner):
     def total_energy(self) -> float:
         from .models.gravity import kinetic_energy, potential_energy
 
+        if self.cfg.pm_boundary == "periodic":
+            # The open pairwise PE is meaningless under periodic
+            # boundaries (the image sum diverges); use the mesh-solved
+            # background-subtracted PE — same definition at t=0 and
+            # t=end, which is all a drift diagnostic needs.
+            from .ops.pm import DEFAULT_GRID, periodic_potential_energy
+
+            pe = float(periodic_potential_energy(
+                self.state.pos, self.state.mass, self.cfg.pm_box,
+                self.cfg.pm_grid or DEFAULT_GRID))
+            return float(kinetic_energy(self.state)) + pe
         return float(kinetic_energy(self.state)) + float(
             potential_energy(self.state)
         )

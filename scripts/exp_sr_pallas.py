@@ -40,8 +40,8 @@ def _pack(pos, mass, ng, cutoff, symmetric=False, paired=False):
         # probe gets correctly sized (not 2x/4x oversized) tables.
         cap0 = pm.suggest_capacity(pos, mass, ng, cutoff)
         counts = jax.jit(pm._sr_plan_counts.__wrapped__,
-                         static_argnums=(2, 3, 4, 5))
-        s_c, e_c = counts(pos, mass, ng, cutoff, cap0, False)
+                         static_argnums=(2, 3, 4, 5, 6, 7))
+        s_c, e_c, _ = counts(pos, mass, ng, cutoff, cap0, False)
 
         def pow2(x):
             v = 64

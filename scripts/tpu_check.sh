@@ -81,6 +81,38 @@ for pr, sym, name in ((True, False, "paired"), (True, True, "pair-sym"),
     assert d < 5e-5, f"{name} sweep disagreement: {d}"
     print(f"   p3m {name} sweep agrees with xla ({d:.1e})")
 PY
+# Periodic boundary mode: the closed-form-spectrum mesh + ghost-image
+# short range on the real chip, gated against ANALYTIC truths (exact
+# min-image pair force; momentum closure) so the check is
+# backend-independent.
+echo "== periodic boundary mode (pm + p3m)"
+python - <<'PY'
+import numpy as np
+from nbody_tpu.ops import pm
+pos = np.array([[0.01, 0.99], [0.5, 0.5], [0.5, 0.5]], np.float32)
+mass = np.array([2.0, 3.0], np.float32)
+G, eps2 = 6.67259e-11, 1e-3
+exact = G * mass[1] * -0.02 * (0.02 ** 2 + eps2) ** -1.5
+import jax
+a = np.asarray(jax.jit(lambda p, m: pm.accelerations(
+    p, m, grid=32, cutoff_cells=4, boundary="periodic",
+    box_size=1.0))(pos, mass))
+d = abs(a[0, 0] - exact) / abs(exact)
+assert d < 0.05, f"periodic p3m straddling-pair error: {d}"
+print(f"   periodic p3m min-image pair ok ({d:.1e} rel)")
+rng = np.random.default_rng(5)
+pos = np.asarray((0.06 * rng.standard_normal((3, 96))) % 1.0, np.float32)
+mass = np.asarray(1.0 + rng.random(96), np.float32)
+plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
+                          box_size=1.0)
+a = np.asarray(jax.jit(lambda p, m: pm.accelerations(
+    p, m, grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0,
+    **plan))(pos, mass))
+p_dot = np.abs((mass * a).sum(axis=1))
+scale = np.abs(mass[None, :] * a).sum(axis=1)
+assert np.all(p_dot < 1e-4 * scale), f"periodic momentum leak: {p_dot}"
+print("   periodic p3m momentum closed ok")
+PY
 # The parity runs above already proved the device reachable — skip
 # bench.py's subprocess probe (a duplicate backend handshake) here.
 export NBODY_BENCH_SKIP_PROBE=1

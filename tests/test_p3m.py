@@ -980,3 +980,247 @@ def test_sr_agreed_verdicts_broadcast_from_process_zero(monkeypatch,
     # Process 1's placeholder contribution is all-False (broadcast_one_to_all
     # ignores non-source inputs but they must be well-formed).
     assert received and received[0].tolist() == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Periodic P3M (ghost images; ops/pm.py _periodic_p3m_between)
+# ---------------------------------------------------------------------------
+
+
+def _corner_blob(n=96, seed=5):
+    """Gaussian blob wrapped around a box CORNER: every particle sits
+    near faces in all three axes, so min-image neighbor pairs cross the
+    boundary in 1, 2 and 3 axes at once — the adversarial case for the
+    ghost-image machinery."""
+    rng = np.random.default_rng(seed)
+    pos = np.asarray((0.06 * rng.standard_normal((3, n))) % 1.0,
+                     np.float32)
+    mass = np.asarray(1.0 + rng.random(n), np.float32)
+    return pos, mass
+
+
+def _periodic_exact(pos, mass, box, kmax=48):
+    """fp64 direct Fourier-series sum (scipy Bessel) — the independent
+    periodic ground truth; see tests/test_pm.py::_kspace_reference."""
+    import scipy.special as sp
+
+    L = float(box)
+    eps = np.sqrt(1e-3)
+    G = 6.67259e-11
+    p = pos.astype(np.float64)
+    m = mass.astype(np.float64)
+    n1 = np.arange(-kmax, kmax + 1)
+    ky, kz = np.meshgrid(2 * np.pi / L * n1, 2 * np.pi / L * n1,
+                         indexing="ij")
+    acc = np.zeros((3, p.shape[1]))
+    for nx in n1:
+        kx = 2 * np.pi / L * nx
+        kvec = np.stack([np.full_like(ky, kx), ky, kz]).reshape(3, -1)
+        k2 = (kvec ** 2).sum(axis=0)
+        kk = np.where(k2 > 0, np.sqrt(k2), 1.0)
+        phih = np.where(k2 > 0, 4 * np.pi * eps * sp.k1(kk * eps) / kk,
+                        0.0)
+        rho = (m[None, :] * np.exp(-1j * kvec.T @ p)).sum(axis=1)
+        wave = np.exp(1j * kvec.T @ p)
+        coef = 1j * kvec * (phih * rho)[None, :]
+        acc += (coef @ wave).real
+    return G / L ** 3 * acc
+
+
+def test_ghost_images_cover_min_image_pairs():
+    """Every within-R_c min-image pair must have a DIRECT counterpart
+    against the augmented (real + ghost) source set, at exactly the
+    min-image displacement — the property that lets the open-boundary
+    sweep kernels run unchanged."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    pos = np.asarray(rng.random((3, 128)), np.float32)
+    mass = np.asarray(1.0 + rng.random(128), np.float32)
+    rc = 0.15
+    gpos, gmass, n_g = pm._ghost_images(jnp.asarray(pos),
+                                        jnp.asarray(mass), 1.0,
+                                        jnp.float32(rc), 7 * 128)
+    n_g = int(n_g)
+    aug = np.concatenate([pos, np.asarray(gpos)[:, :n_g]], axis=1)
+    d = pos[:, :, None] - pos[:, None, :]  # direct (3, N, N)
+    dmin = d - np.round(d)  # min image on the unit box
+    r2 = (dmin ** 2).sum(axis=0)
+    da = aug[:, None, :] - pos[:, :, None]  # (3, N, N+G) src - tgt
+    for i, j in zip(*np.where((r2 < rc * rc) & (r2 > 0))):
+        want = -dmin[:, i, j]  # x_src_image - x_tgt
+        hit = np.abs(da[:, i, :] - want[:, None]).max(axis=0) < 1e-6
+        assert hit.any(), (i, j, want)
+    # count matches the per-axis sign construction
+    sig = (pos < rc).astype(int) - (pos > 1.0 - rc).astype(int)
+    expect = int((np.prod(1 + np.abs(sig), axis=0) - 1).sum())
+    assert n_g == expect
+    assert np.all(np.asarray(gmass)[:n_g] > 0)
+
+
+def test_p3m_periodic_vs_kspace_sum():
+    """The headline: on a corner-wrapped blob (boundary-crossing close
+    pairs) periodic P3M lands near its mesh floor while plain periodic
+    PM keeps CIC-scale error; both measured against the independent
+    k-space sum."""
+    pos, mass = _corner_blob()
+    a_ref = _periodic_exact(pos, mass, 1.0)
+
+    def err(a):
+        return np.linalg.norm(a - a_ref) / np.linalg.norm(a_ref)
+
+    for ng, bound in ((32, 2.5e-2), (64, 1.5e-2)):
+        plan = pm.suggest_sr_plan(pos, mass, ng, 4, boundary="periodic",
+                                  box_size=1.0)
+        a = np.asarray(pm.accelerations(
+            pos, mass, grid=ng, cutoff_cells=4, boundary="periodic",
+            box_size=1.0, **plan))
+        e_p3m = err(a)
+        e_pm = err(np.asarray(pm.accelerations(
+            pos, mass, grid=ng, boundary="periodic", box_size=1.0)))
+        assert e_p3m < bound, (ng, e_p3m)
+        assert e_p3m < e_pm / 3, (ng, e_pm, e_p3m)
+
+
+def test_p3m_periodic_boundary_pair_exact():
+    """A close pair straddling a face: P3M recovers the exact min-image
+    force (CIC-floor residual); plain periodic PM misses it badly."""
+    pos = np.array([[0.01, 0.99], [0.5, 0.5], [0.5, 0.5]], np.float32)
+    mass = np.array([2.0, 3.0], np.float32)
+    G, eps2 = 6.67259e-11, 1e-3
+    d = np.array([-0.02, 0.0, 0.0])
+    exact = G * mass[1] * d * (d[0] ** 2 + eps2) ** -1.5
+    a = np.asarray(pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                                    boundary="periodic", box_size=1.0))
+    a_pm = np.asarray(pm.accelerations(pos, mass, grid=32,
+                                       boundary="periodic", box_size=1.0))
+    assert abs(a[0, 0] - exact[0]) < 0.05 * abs(exact[0]), (a[:, 0], exact)
+    assert abs(a_pm[0, 0] - exact[0]) > 0.3 * abs(exact[0])  # pm can't
+
+
+def test_p3m_periodic_momentum_conserved():
+    """Ghost images carry real mass, so the reaction bookkeeping must
+    still close: sum m*a ~ 0 on the adversarial corner blob."""
+    pos, mass = _corner_blob(seed=9)
+    plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
+                              box_size=1.0)
+    a = np.asarray(pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                                    boundary="periodic", box_size=1.0,
+                                    **plan))
+    p_dot = (mass * a).sum(axis=1)
+    scale = np.abs(mass[None, :] * a).sum(axis=1) + 1e-30
+    assert np.all(np.abs(p_dot) / scale < 1e-4), p_dot / scale
+
+
+def test_p3m_periodic_plan_measured():
+    """suggest_sr_plan with periodic boundaries measures the ghost count
+    (sr_ghosts key) and a capacity covering the ghost-extended grid;
+    cell_overflow_fraction then reports zero."""
+    pos, mass = _corner_blob(seed=11)
+    plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
+                              box_size=1.0)
+    assert plan["sr_ghosts"] >= 64
+    assert plan["sr_ghosts"] <= 7 * pos.shape[1]
+    over = float(pm.cell_overflow_fraction(
+        pos, mass, 32, 4, capacity=plan["capacity"],
+        boundary="periodic", box_size=1.0))
+    assert over == 0.0
+    # starved defaults on this blob are measurably worse than the plan
+    a_ref = _periodic_exact(pos, mass, 1.0)
+
+    def err(a):
+        return np.linalg.norm(a - a_ref) / np.linalg.norm(a_ref)
+
+    kw = dict(grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0)
+    e_plan = err(np.asarray(pm.accelerations(pos, mass, **kw, **plan)))
+    assert e_plan < 2.5e-2, e_plan
+
+
+def test_p3m_periodic_config_and_cell_validation():
+    """Config accepts p3m periodic; the solver rejects R_c >= box/2
+    cell geometries instead of silently wrapping the taper onto its
+    own images."""
+    from nbody_tpu.config import SimConfig
+
+    cfg = SimConfig(kernel="p3m", pm_boundary="periodic", pm_box=2.0,
+                    pm_grid=64)
+    opts = cfg.kernel_opts()
+    assert opts["boundary"] == "periodic" and opts["box_size"] == 2.0
+    pos, mass = _corner_blob(seed=3)
+    with pytest.raises(ValueError, match="box/2"):
+        pm.accelerations(pos, mass, grid=8, cutoff_cells=4,
+                         boundary="periodic", box_size=1.0)
+
+
+def test_p3m_periodic_sweep_variants_agree():
+    """SR_SYMMETRIC and SR_PAIRED_ROWS (interpret-mode Pallas) through
+    the FULL periodic solve agree with the default XLA sweep — the
+    ghost-augmented tables are ordinary packed tables, so every sweep
+    variant must compose."""
+    import jax
+
+    pos, mass = _corner_blob(seed=13)
+    kw = dict(grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0)
+    plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
+                              box_size=1.0)
+    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    scale = np.abs(a_ref).max()
+    assert pm.SR_SYMMETRIC is False and pm.SR_PAIRED_ROWS is False
+    try:
+        pm.SR_SYMMETRIC = True
+        a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    finally:
+        pm.SR_SYMMETRIC = False
+    np.testing.assert_allclose(a_sym, a_ref, rtol=0, atol=3e-5 * scale)
+    orig_impl = pm.SR_SWEEP_IMPL
+    try:
+        pm.SR_SWEEP_IMPL = "pallas"  # interpret on CPU
+        a_pl = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+        pm.SR_PAIRED_ROWS = True
+        a_pr = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    finally:
+        pm.SR_SWEEP_IMPL = orig_impl
+        pm.SR_PAIRED_ROWS = False
+    np.testing.assert_allclose(a_pl, a_ref, rtol=0, atol=3e-5 * scale)
+    np.testing.assert_allclose(a_pr, a_ref, rtol=0, atol=3e-5 * scale)
+    del jax
+
+
+def test_p3m_periodic_differentiable():
+    """differentiable=True keeps values identical and lets grad flow
+    through the ghost compaction (scatter), wrap, FFTs and the
+    static-bound sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    pos, mass = _corner_blob(n=64, seed=15)
+    kw = dict(grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0,
+              capacity=256, sr_ghosts=512)
+    a0 = np.asarray(pm.accelerations(pos, mass, **kw))
+    a1 = np.asarray(pm.accelerations(pos, mass, **kw,
+                                     differentiable=True))
+    np.testing.assert_array_equal(a0, a1)
+
+    def loss(p):
+        a = pm.accelerations(p, jnp.asarray(mass), differentiable=True,
+                             **kw)
+        return (a * a).sum()
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(pos))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_p3m_periodic_sharded_matches_single():
+    """Engine-level 1-vs-4 agreement for sharded periodic P3M (mesh
+    local-deposit+psum; SR entry chunks split across shards, one table
+    psum)."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    kw = dict(n=512, nsteps=50, kernel="p3m", pm_grid=32,
+              pm_boundary="periodic", pm_box=8.0)
+    res = run(SimConfig(shards=4, comm="allgather", **kw), quiet=True)
+    ref = run(SimConfig(**kw), quiet=True)
+    for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
+        assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)

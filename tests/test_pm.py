@@ -516,9 +516,6 @@ def test_pm_periodic_option_validation():
         pm.accelerations(pos, mass, grid=32, boundary="reflecting")
     with pytest.raises(ValueError, match="box_size"):
         pm.accelerations(pos, mass, grid=32, boundary="periodic")
-    with pytest.raises(NotImplementedError, match="P3M"):
-        pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
-                         boundary="periodic", box_size=1.0)
     with pytest.raises(ValueError, match="kernel pm"):
         SimConfig(kernel="naive", pm_boundary="periodic", pm_box=1.0)
     with pytest.raises(ValueError, match="pm-box"):
@@ -531,3 +528,18 @@ def test_pm_periodic_option_validation():
     assert opts.get("box_size") == 2.5
     # open mode passes no boundary opts at all (solver defaults rule)
     assert "boundary" not in SimConfig(kernel="pm").kernel_opts()
+
+
+def test_pm_periodic_energy_check():
+    """--energy-check under periodic boundaries uses the mesh-solved
+    background-subtracted PE (the open pairwise image sum diverges);
+    a short periodic run must report finite, small drift."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    res = run(SimConfig(n=512, nsteps=100, kernel="pm", pm_grid=32,
+                        pm_boundary="periodic", pm_box=8.0,
+                        energy_check=True), quiet=True)
+    assert res.energy_drift is not None
+    assert np.isfinite(res.energy_drift)
+    assert abs(res.energy_drift) < 5e-2, res.energy_drift
