@@ -111,6 +111,17 @@ class SimConfig:
                     "--pm-boundary periodic requires --pm-box L > 0 (the "
                     "fixed cubic box edge)"
                 )
+            if self.precision == "ref64":
+                # ref64 dispatches to the ver0-semantics host oracle,
+                # which simulates OPEN-boundary all-pairs physics (and
+                # the divergent open pairwise PE) — it would silently
+                # ignore the box the user asked for.
+                raise ValueError(
+                    "--pm-boundary periodic is incompatible with "
+                    "--precision ref64 (the host oracle is the "
+                    "open-boundary ver0 replica; it has no periodic "
+                    "mode)"
+                )
         elif self.pm_box:
             raise ValueError("--pm-box only applies to --pm-boundary "
                              "periodic")

@@ -422,9 +422,14 @@ def _ghost_images(pos_w, mass, box, rc, gcap: int):
     in table slots nothing reads.
 
     Static-shape compaction: candidates pack into ``gcap`` slots by an
-    exclusive cumsum; overflow beyond gcap is DROPPED (those
-    cross-boundary pairs silently degrade to mesh-quality forces —
-    size gcap from suggest_sr_plan's measured count).  Returns
+    exclusive cumsum; overflow beyond gcap is DROPPED.  Dropped ghosts
+    are WORSE than cell overflow: their cross-boundary pairs lose the
+    entire short-range term with NO complement compensation (the
+    parent binned, so activating the complement would double-count its
+    interior field — see _periodic_p3m_between's degradation contract),
+    leaving tapered long-range-only, momentum-leaking forces on the
+    affected boundary pairs.  Size gcap from suggest_sr_plan's measured
+    count and check ghost_overflow_count when in doubt.  Returns
     (gpos (3, gcap), gmass (gcap,), n_ghost traced scalar)."""
     f32, i32 = jnp.float32, jnp.int32
     L = jnp.float32(box)
@@ -465,6 +470,71 @@ def _periodic_cells(ng: int, cutoff_cells: int):
             f"cutoff_cells={cutoff_cells} — raise grid or lower "
             "cutoff_cells")
     return nc, sub
+
+
+def _periodic_geom(ng: int, cutoff_cells: int, box: float):
+    """Shared periodic binning geometry: ``(nc, sub, rc, nc_tot,
+    lo_cell, span_tot)``.  ONE definition used by the solver, the
+    sharded solver and the plan/overflow diagnostics — they must bin
+    onto the SAME ghost-extended grid or measured plans desync from the
+    solve."""
+    f32 = jnp.float32
+    nc, sub = _periodic_cells(ng, cutoff_cells)
+    cs = box / nc
+    rc = f32(sub * cs)
+    nc_tot = nc + 2 * sub
+    lo_cell = jnp.full((3, 1), f32(-sub * cs))
+    span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
+    return nc, sub, rc, nc_tot, lo_cell, span_tot
+
+
+def _periodic_ghost_bin(src_w, mass, box, rc, nc_tot, lo_cell, span_tot,
+                        gcap: int, tgt_w=None):
+    """Ghost-image + bin-candidate assembly on the ghost-extended grid
+    (the block every periodic binning site shares).  Slot layout is
+    ``[sources | ghosts(gcap)]``, or ``[sources | ghosts(gcap) |
+    targets]`` when distinct targets join as massless receivers.
+    Returns (pos_bin, m_bin, cid, n_ghost traced scalar)."""
+    f32 = jnp.float32
+    gpos, gmass, n_ghost = _ghost_images(src_w, mass, box, rc, gcap)
+    if tgt_w is None:
+        pos_bin = jnp.concatenate([src_w, gpos], axis=1)
+        m_bin = jnp.concatenate([mass, gmass])
+        inc = m_bin > 0
+    else:
+        pos_bin = jnp.concatenate([src_w, gpos, tgt_w], axis=1)
+        m_bin = jnp.concatenate(
+            [mass, gmass, jnp.zeros((tgt_w.shape[1],), f32)])
+        inc = jnp.concatenate(
+            [mass > 0, gmass > 0, jnp.ones((tgt_w.shape[1],), bool)])
+    cid = _bin_cids(pos_bin, lo_cell, span_tot, nc_tot, inc)
+    return pos_bin, m_bin, cid, n_ghost
+
+
+def _periodic_p3m_force_grids(rho_hat, rho_over_hat_fn, comb, comp,
+                              has_over):
+    """Periodic analog of _p3m_force_grids: (acc_grids, comp_grids)
+    under the overflow cond.  Contract (same as the open solver):
+    unbinned sources' full force rides the combined spectrum minus
+    their complement (rho C - roh S), and binned-but-overflow-adjacent
+    targets pick the complement field back up via (roh - rho) S.
+    ``rho_over_hat_fn`` is lazy so the overflow FFT only traces inside
+    the taken branch (the sharded caller's psum'd deposit stays outside
+    the cond; only its fftn is deferred)."""
+
+    def _over(_):
+        roh = rho_over_hat_fn()
+        g = jnp.stack([jnp.fft.ifftn(rho_hat * c - roh * s).real
+                       for c, s in zip(comb, comp)])
+        cg = jnp.stack([jnp.fft.ifftn((roh - rho_hat) * s).real
+                        for s in comp])
+        return g, cg
+
+    def _plain(_):
+        g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real for c in comb])
+        return g, jnp.zeros_like(g)
+
+    return jax.lax.cond(has_over, _over, _plain, operand=None)
 
 
 def _periodic_p3m_spectra(box, ng: int, rc2):
@@ -511,9 +581,16 @@ def _periodic_p3m_spectra(box, ng: int, rc2):
     return tuple(comb), tuple(comp)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def periodic_potential_energy(pos, mass, box: float,
                               grid: int = DEFAULT_GRID) -> jax.Array:
     """Background-subtracted periodic potential energy
+
+    Jitted (box/grid static): the engine's total_energy calls this
+    eagerly-looking from host code, and an un-jitted mesh solve
+    dispatches 100+ individual ops over the tunneled backend at ~38 ms
+    each (CLAUDE.md: always jit before calling on the TPU).
+
     PE = -(G/2) sum_i m_i Phi(x_i), with Phi the mesh-solved periodic
     potential (k=0 dropped — the finite comoving-box convention; the
     raw image sum of the softened 1/r potential DIVERGES, so the
@@ -1658,34 +1735,20 @@ def _periodic_p3m_between(pos_tgt, pos_src, mass_src, same_set: bool,
     forces.  Both caps come from suggest_sr_plan's measured counts in
     engine runs, where the common case is zero overflow."""
     f32 = jnp.float32
-    nc, sub = _periodic_cells(ng, cutoff_cells)
-    cs = box / nc
-    rc = f32(sub * cs)
+    nc, sub, rc, nc_tot, lo_cell, span_tot = _periodic_geom(
+        ng, cutoff_cells, box)
     rc2 = rc * rc
     src_w = _wrap_box(pos_src, box)
     tgt_w = src_w if same_set else _wrap_box(pos_tgt, box)
     ns = pos_src.shape[1]
     gcap = int(sr_ghosts) or _default_ghost_cap(ns)
-    gpos, gmass, _ = _ghost_images(src_w, mass_src, box, rc, gcap)
-    if same_set:
-        pos_bin = jnp.concatenate([src_w, gpos], axis=1)
-        m_bin = jnp.concatenate([mass_src, gmass])
-        inc = m_bin > 0
-    else:
-        # Distinct targets join as massless receivers (open-path rule).
-        pos_bin = jnp.concatenate([src_w, gpos, tgt_w], axis=1)
-        m_bin = jnp.concatenate(
-            [mass_src, gmass, jnp.zeros((tgt_w.shape[1],), f32)])
-        inc = jnp.concatenate(
-            [mass_src > 0, gmass > 0,
-             jnp.ones((tgt_w.shape[1],), bool)])
-    nc_tot = nc + 2 * sub
+    # Distinct targets join as massless receivers (open-path rule).
+    pos_bin, m_bin, cid, _ = _periodic_ghost_bin(
+        src_w, mass_src, box, rc, nc_tot, lo_cell, span_tot, gcap,
+        tgt_w=None if same_set else tgt_w)
     n_cells_tot = nc_tot ** 3
     cap, s_max, e_max = _sr_sizing(ns, pos_bin.shape[1], n_cells_tot,
                                    capacity, sr_slabs, sr_entries)
-    lo_cell = jnp.full((3, 1), f32(-sub * cs))
-    span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
-    cid = _bin_cids(pos_bin, lo_cell, span_tot, nc_tot, inc)
     ptab, mtab, slab_lo, slab_hi, pslot, binned_all = _sr_pack(
         cid, pos_bin, m_bin, n_cells_tot, cap, s_max)
     binned_src = binned_all[:ns]
@@ -1699,21 +1762,10 @@ def _periodic_p3m_between(pos_tgt, pos_src, mass_src, same_set: bool,
                 jnp.logical_not(binned_all[ns + gcap:]))
     rho_hat = jnp.fft.fftn(_deposit_periodic(src_w, mass_src, box, ng))
     comb, comp = _periodic_p3m_spectra(box, ng, rc2)
-
-    def _over(_):
-        roh = jnp.fft.fftn(_deposit_periodic(src_w, m_over, box, ng))
-        g = jnp.stack([jnp.fft.ifftn(rho_hat * c - roh * s).real
-                       for c, s in zip(comb, comp)])
-        cg = jnp.stack([jnp.fft.ifftn((roh - rho_hat) * s).real
-                        for s in comp])
-        return g, cg
-
-    def _plain(_):
-        g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real for c in comb])
-        return g, jnp.zeros_like(g)
-
-    acc_grids, comp_grids = jax.lax.cond(has_over, _over, _plain,
-                                         operand=None)
+    acc_grids, comp_grids = _periodic_p3m_force_grids(
+        rho_hat,
+        lambda: jnp.fft.fftn(_deposit_periodic(src_w, m_over, box, ng)),
+        comb, comp, has_over)
     acc = _gather_periodic(acc_grids, tgt_w, box, ng)
     sym = SR_SYMMETRIC
     use_pl = _use_pallas_sweep(
@@ -2022,49 +2074,33 @@ def sharded_accelerations(
         src_w = _wrap_box(pos_l, box)
         pos_all = lax.all_gather(src_w, axis, axis=1, tiled=True)
         m_all = lax.all_gather(mass_l, axis, axis=0, tiled=True)
-        nc, sub = _periodic_cells(ng, cutoff_cells)
-        cs = box / nc
-        rc = f32(sub * cs)
+        nc, sub, rc, nc_tot, lo_cell, span_tot = _periodic_geom(
+            ng, cutoff_cells, box)
         rc2 = rc * rc
         n_all = pos_all.shape[1]
         gcap = int(sr_ghosts) or _default_ghost_cap(n_all)
-        gpos, gmass, _ = _ghost_images(pos_all, m_all, box, rc, gcap)
-        pos_bin = jnp.concatenate([pos_all, gpos], axis=1)
-        m_bin = jnp.concatenate([m_all, gmass])
-        nc_tot = nc + 2 * sub
+        pos_bin, m_bin, cid, _ = _periodic_ghost_bin(
+            pos_all, m_all, box, rc, nc_tot, lo_cell, span_tot, gcap)
         n_cells_tot = nc_tot ** 3
         cap, s_max, e_max = _sr_sizing(n_all, pos_bin.shape[1],
                                        n_cells_tot, capacity, sr_slabs,
                                        sr_entries)
-        lo_cell = jnp.full((3, 1), f32(-sub * cs))
-        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
-        cid = _bin_cids(pos_bin, lo_cell, span_tot, nc_tot, m_bin > 0)
         ptab, mtab, slab_lo, slab_hi, pslot, binned = _sr_pack(
             cid, pos_bin, m_bin, n_cells_tot, cap, s_max)
         i0 = lax.axis_index(axis) * nl
         binned_l = lax.dynamic_slice(binned, (i0,), (nl,))
         m_over_l = jnp.where(binned_l, f32(0), mass_l)
+        # The psum'd overflow deposit stays OUTSIDE the cond (every
+        # shard runs the same collectives unconditionally); only its
+        # fftn defers into the taken branch.
         rho_over = psum(_deposit_periodic(pos_l, m_over_l, box, ng))
         has_over = jnp.any(jnp.logical_and(
             jnp.logical_not(binned[:n_all]), m_all > 0))
         rho_hat = jnp.fft.fftn(rho)
         comb, comp = _periodic_p3m_spectra(box, ng, rc2)
-
-        def _over(_):
-            roh = jnp.fft.fftn(rho_over)
-            g = jnp.stack([jnp.fft.ifftn(rho_hat * c - roh * s).real
-                           for c, s in zip(comb, comp)])
-            cg = jnp.stack([jnp.fft.ifftn((roh - rho_hat) * s).real
-                            for s in comp])
-            return g, cg
-
-        def _plain(_):
-            g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real
-                           for c in comb])
-            return g, jnp.zeros_like(g)
-
-        acc_grids, comp_grids = jax.lax.cond(has_over, _over, _plain,
-                                             operand=None)
+        acc_grids, comp_grids = _periodic_p3m_force_grids(
+            rho_hat, lambda: jnp.fft.fftn(rho_over), comb, comp,
+            has_over)
         acc = _gather_periodic(acc_grids, src_w, box, ng)
         sym = SR_SYMMETRIC
         use_pl = _use_pallas_sweep(ptab.shape[1] // SLAB,
@@ -2266,19 +2302,14 @@ def _cell_counts(pos, mass, grid: int, cutoff_cells: int,
     pos = pos.astype(f32)
     mass = mass.astype(f32)
     if boundary == "periodic":
-        nc, sub = _periodic_cells(int(grid), int(cutoff_cells))
         box = float(box_size)
-        cs = box / nc
+        _, _, rc, nc_tot, lo_cell, span_tot = _periodic_geom(
+            int(grid), int(cutoff_cells), box)
         src_w = _wrap_box(pos, box)
-        gpos, gmass, _ = _ghost_images(src_w, mass, box, f32(sub * cs),
-                                       7 * pos.shape[1])
-        pos_b = jnp.concatenate([src_w, gpos], axis=1)
-        m_b = jnp.concatenate([mass, gmass])
-        nc_tot = nc + 2 * sub
+        _, m_b, cid, _ = _periodic_ghost_bin(
+            src_w, mass, box, rc, nc_tot, lo_cell, span_tot,
+            7 * pos.shape[1])
         n_cells = nc_tot ** 3
-        lo_cell = jnp.full((3, 1), f32(-sub * cs))
-        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
-        cid = _bin_cids(pos_b, lo_cell, span_tot, nc_tot, m_b > 0)
         counts = jnp.zeros((n_cells + 1,), jnp.int32).at[cid].add(1)[:-1]
         return counts, jnp.sum((m_b > 0).astype(jnp.int32))
     lo_box, hi_box = _robust_box(pos, mass)
@@ -2302,12 +2333,51 @@ def cell_overflow_fraction(
     list (capacity overflow).  Overflowed particles keep a mesh-quality
     FULL force (complement-kernel deposit) but lose short-range
     exactness — a nonzero fraction degrades accuracy toward pure PM for
-    those pairs and warrants a larger ``--pm-capacity``."""
-    nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
-    cap = int(capacity) or _auto_capacity(pos.shape[1], nc ** 3)
+    those pairs and warrants a larger ``--pm-capacity``.  The
+    capacity=0 baseline resolves EXACTLY as the solver's _sr_sizing
+    does (periodic boundaries bin on the ghost-extended nc_tot^3 grid,
+    which auto-sizes a smaller cap than the core grid — using the core
+    grid here once underreported real overflow)."""
+    if boundary == "periodic":
+        nc, sub = _periodic_cells(int(grid), int(cutoff_cells))
+        n_cells = (nc + 2 * sub) ** 3
+    else:
+        nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
+        n_cells = nc ** 3
+    cap = int(capacity) or _auto_capacity(pos.shape[1], n_cells)
     counts, n_in = _cell_counts(pos, mass, grid, cutoff_cells,
                                 boundary, box_size)
     return jnp.sum(jnp.maximum(counts - cap, 0)) / jnp.maximum(n_in, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _ghost_count(pos, mass, grid: int, cutoff_cells: int,
+                 box_size: float):
+    _, _, rc, _, _, _ = _periodic_geom(int(grid), int(cutoff_cells),
+                                       float(box_size))
+    src_w = _wrap_box(pos.astype(jnp.float32), float(box_size))
+    _, _, n_ghost = _ghost_images(src_w, mass.astype(jnp.float32),
+                                  float(box_size), rc, 1)
+    return n_ghost
+
+
+def ghost_overflow_count(
+    pos, mass, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, sr_ghosts: int = 0,
+    box_size: float = 0.0,
+) -> int:
+    """Number of periodic ghost images beyond the static ghost cap for
+    THIS state — the counterpart of cell_overflow_fraction for the
+    _ghost_images drop path, which is otherwise silent at runtime.
+    Nonzero means cross-boundary pairs are losing their ENTIRE
+    short-range term (tapered long-range-only, momentum-leaking forces
+    — see _ghost_images; unlike cell overflow there is no complement
+    compensation): raise ``sr_ghosts`` / re-run suggest_sr_plan.  The
+    cap baseline (sr_ghosts=0) resolves exactly as the solver does."""
+    gcap = int(sr_ghosts) or _default_ghost_cap(pos.shape[1])
+    n = int(_ghost_count(pos, mass, int(grid), int(cutoff_cells),
+                         float(box_size)))
+    return max(0, n - gcap)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -2360,17 +2430,11 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
         # The solver's periodic binning at the guaranteed 7N ghost
         # bound: measures (S, E) AND the exact image count.
         box = float(box_size)
-        nc, sub = _periodic_cells(int(grid), int(cutoff))
-        cs = box / nc
+        _, sub, rc, nc_tot, lo_cell, span_tot = _periodic_geom(
+            int(grid), int(cutoff), box)
         src_w = _wrap_box(pos, box)
-        gpos, gmass, n_ghost = _ghost_images(src_w, mass, box,
-                                             f32(sub * cs), 7 * ns)
-        pos_b = jnp.concatenate([src_w, gpos], axis=1)
-        m_b = jnp.concatenate([mass, gmass])
-        nc_tot = nc + 2 * sub
-        lo_cell = jnp.full((3, 1), f32(-sub * cs))
-        span_tot = jnp.full((3, 1), f32(box + 2 * sub * cs))
-        cid = _bin_cids(pos_b, lo_cell, span_tot, nc_tot, m_b > 0)
+        pos_b, m_b, cid, n_ghost = _periodic_ghost_bin(
+            src_w, mass, box, rc, nc_tot, lo_cell, span_tot, 7 * ns)
         s_cap = pos_b.shape[1] // SLAB + 2
         _, _, slab_lo, slab_hi, _, binned = _sr_pack(
             cid, pos_b, m_b, nc_tot ** 3, int(cap), s_cap)

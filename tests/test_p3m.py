@@ -1136,6 +1136,54 @@ def test_p3m_periodic_plan_measured():
     assert e_plan < 2.5e-2, e_plan
 
 
+def test_periodic_overflow_diag_uses_solver_capacity():
+    """cell_overflow_fraction's capacity=0 baseline must resolve the
+    SAME default capacity as the solver's _sr_sizing.  Periodic solves
+    bin on the ghost-extended grid, whose larger cell count auto-sizes
+    a SMALLER cap (N=65536, grid=32: cap=64 on 20^3 cells vs 128 on the
+    core 16^3) — sizing the diagnostic from the core grid once reported
+    0.0 while the actual run dropped particles to mesh-quality
+    forces."""
+    rng = np.random.default_rng(5)
+    n = 65536
+    pos = rng.uniform(0, 1, size=(3, n)).astype(np.float32)
+    # 100 particles piled into one interior cell: over the solver's
+    # auto cap (64) but under the core-grid cap (128) the diagnostic
+    # previously used.  0.53125 is a CELL CENTER of the ghost-extended
+    # grid (lo=-0.125, cs=0.0625) — 0.5 would be a cell boundary and
+    # split the pile 8 ways.
+    pos[:, :100] = np.float32(0.53125) + np.asarray(
+        0.001 * rng.standard_normal((3, 100)), np.float32)
+    mass = np.full((n,), 1.0 / n, np.float32)
+    kw = dict(boundary="periodic", box_size=1.0)
+    over = float(pm.cell_overflow_fraction(pos, mass, 32, 4, 0, **kw))
+    assert over > 0.0, "diagnostic must see the solver's cap overflow"
+    # ...and a capacity covering the pile reports zero again
+    assert float(pm.cell_overflow_fraction(pos, mass, 32, 4, 256,
+                                           **kw)) == 0.0
+
+
+def test_ghost_overflow_count_diag():
+    """ghost_overflow_count is the runtime detector for _ghost_images'
+    silent drop path (dropped ghosts lose the ENTIRE short-range term
+    — worse than cell overflow, which keeps mesh-quality forces)."""
+    pos, mass = _corner_blob(seed=7)
+    # the guaranteed 7N bound can never overflow
+    assert pm.ghost_overflow_count(pos, mass, 32, 4,
+                                   sr_ghosts=7 * pos.shape[1],
+                                   box_size=1.0) == 0
+    # the measured-plan cap is sufficient for the state it measured
+    plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
+                              box_size=1.0)
+    assert pm.ghost_overflow_count(pos, mass, 32, 4,
+                                   sr_ghosts=plan["sr_ghosts"],
+                                   box_size=1.0) == 0
+    # a deliberately starved cap reports the dropped images
+    dropped = pm.ghost_overflow_count(pos, mass, 32, 4, sr_ghosts=8,
+                                      box_size=1.0)
+    assert dropped > 0, "starved ghost cap must be detected"
+
+
 def test_p3m_periodic_config_and_cell_validation():
     """Config accepts p3m periodic; the solver rejects R_c >= box/2
     cell geometries instead of silently wrapping the taper onto its

@@ -522,6 +522,11 @@ def test_pm_periodic_option_validation():
         SimConfig(kernel="pm", pm_boundary="periodic")
     with pytest.raises(ValueError, match="pm-box"):
         SimConfig(kernel="pm", pm_box=1.0)
+    with pytest.raises(ValueError, match="ref64"):
+        # the host oracle is the OPEN-boundary ver0 replica — silently
+        # ignoring the box would run different physics than requested
+        SimConfig(kernel="pm", pm_boundary="periodic", pm_box=1.0,
+                  precision="ref64")
     opts = SimConfig(kernel="pm", pm_boundary="periodic",
                      pm_box=2.5).kernel_opts()
     assert opts.get("boundary") == "periodic"
