@@ -142,6 +142,11 @@ def _timed_steps(cfg, nsteps, force_chunked=None):
     )
 
     state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+    # P3M rows run on the MEASURED short-range plan, exactly like an
+    # engine run (guaranteed-sufficient bounds oversize the tables and
+    # under-report the tier's real rate); mutating cfg here also lets
+    # the second _timed_steps call of a difference pair reuse the plan.
+    cfg.resolve_sr_plan(state.pos, state.mass)
     if cfg.shards > 1:
         from nbody_tpu.parallel.decompose import (
             make_sharded_block_fn,

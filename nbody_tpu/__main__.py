@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pm-box", type=float, default=0.0, metavar="L",
                    help="periodic box edge for --pm-boundary periodic "
                         "(positions are wrapped into [0, L))")
+    p.add_argument("--pm-sr-layout", default="",
+                   choices=["", "xla", "pallas", "pallas_sym",
+                            "pallas_paired", "pallas_paired_sym"],
+                   help="P3M short-range sweep layout (default: module "
+                        "default, or the measured winner under "
+                        "--autotune; pallas* requests still respect the "
+                        "VMEM gate and Mosaic acceptance probe)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16", "ref64"])
     p.add_argument("--tile-i", type=int, default=0)
@@ -194,6 +201,7 @@ def main(argv=None) -> int:
         tile_j=args.tile_j or args.dim1, pm_grid=args.pm_grid,
         pm_cutoff=args.pm_cutoff, pm_capacity=args.pm_capacity,
         pm_boundary=args.pm_boundary, pm_box=args.pm_box,
+        pm_sr_layout=args.pm_sr_layout,
         autotune=args.autotune,
         autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,

@@ -43,6 +43,10 @@ class SimConfig:
     # boundary mode")
     pm_box: float = 0.0  # periodic box edge (required > 0 for periodic;
     # positions are wrapped into [0, pm_box) inside the solver)
+    pm_sr_layout: str = ""  # P3M short-range sweep layout (ops/pm.py
+    # SR_LAYOUTS: xla | pallas | pallas_sym | pallas_paired |
+    # pallas_paired_sym).  "" = module default, or the measured winner
+    # when --autotune is on (utils.autotune.autotune_sr_layout)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -125,6 +129,22 @@ class SimConfig:
         elif self.pm_box:
             raise ValueError("--pm-box only applies to --pm-boundary "
                              "periodic")
+        if self.pm_sr_layout:
+            from .ops.pm import SR_LAYOUTS
+
+            if self.pm_sr_layout not in SR_LAYOUTS:
+                raise ValueError(
+                    f"unknown --pm-sr-layout {self.pm_sr_layout!r}; "
+                    f"options: {tuple(SR_LAYOUTS)}"
+                )
+            if self.kernel not in ("pm", "p3m") or not (
+                self.pm_cutoff or self.kernel == "p3m"
+            ):
+                raise ValueError(
+                    "--pm-sr-layout selects the P3M short-range sweep "
+                    "layout; it requires --kernel p3m (or --kernel pm "
+                    "with --pm-cutoff > 0)"
+                )
         if self.kernel in ("pm", "p3m") and self.precision == "bf16":
             # The mesh solver is fp32-only; silently running fp32 while
             # reporting bf16 would misrepresent the configuration
@@ -134,6 +154,45 @@ class SimConfig:
                 "--precision bf16 (use --kernel pallas for the bf16 "
                 "distance mode)"
             )
+
+    def resolve_sr_plan(self, pos, mass) -> bool:
+        """Fill the P3M static-plan fields (capacity / sr_slabs /
+        sr_entries / sr_ghosts) from the CONCRETE state via
+        pm.suggest_sr_plan, unless every applicable field is already
+        pinned.  The plan is a static shape under jit — clustered cores
+        make cell occupancy wildly data-dependent, so both the engine
+        and bench measure it on the real initial positions.  Returns
+        True when this config has a short-range pass (p3m, or pm with
+        a cutoff), False otherwise (nothing to size)."""
+        from .ops.registry import resolve
+
+        resolved = resolve(self.kernel)
+        if not (resolved == "p3m"
+                or (resolved == "pm" and self.pm_cutoff)):
+            return False
+        periodic = self.pm_boundary == "periodic"
+        if (self.pm_capacity and self.pm_sr_slabs and self.pm_sr_entries
+                and (self.pm_sr_ghosts or not periodic)):
+            return True
+        from .ops.pm import (
+            DEFAULT_CUTOFF_CELLS,
+            DEFAULT_GRID,
+            suggest_sr_plan,
+        )
+
+        plan = suggest_sr_plan(
+            pos, mass,
+            self.pm_grid or DEFAULT_GRID,
+            self.pm_cutoff or DEFAULT_CUTOFF_CELLS,
+            capacity=self.pm_capacity,
+            boundary=self.pm_boundary, box_size=self.pm_box,
+        )
+        self.pm_capacity = plan["capacity"]
+        self.pm_sr_slabs = self.pm_sr_slabs or plan["sr_slabs"]
+        self.pm_sr_entries = self.pm_sr_entries or plan["sr_entries"]
+        if periodic:
+            self.pm_sr_ghosts = self.pm_sr_ghosts or plan["sr_ghosts"]
+        return True
 
     def kernel_opts(self) -> dict:
         from .ops.registry import resolve

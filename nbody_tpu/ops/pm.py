@@ -766,6 +766,56 @@ SR_SYMMETRIC = False
 # (scripts/exp_sr_pallas.py pl-paired / pl-pair-sym rows).
 SR_PAIRED_ROWS = False
 
+# Named short-range sweep layouts: one handle over the three layout
+# globals above, so callers (the CLI --pm-sr-layout override and the
+# utils.autotune.autotune_sr_layout on-device sweep) select a layout
+# without reaching into module state.  "pallas*" names keep
+# SR_SWEEP_IMPL="auto" so the VMEM gate and the Mosaic acceptance
+# probe in _use_pallas_sweep still apply (an ineligible request
+# degrades to the XLA sweep instead of crashing); "xla" is the forced
+# HBM-streaming XLA-composed sweep.  name -> (impl, symmetric, paired).
+SR_LAYOUTS: dict = {
+    "xla": ("xla", False, False),
+    "pallas": ("auto", False, False),
+    "pallas_sym": ("auto", True, False),
+    "pallas_paired": ("auto", False, True),
+    "pallas_paired_sym": ("auto", True, True),
+}
+
+
+def sr_layout_state() -> tuple:
+    """The current (SR_SWEEP_IMPL, SR_SYMMETRIC, SR_PAIRED_ROWS) triple —
+    pass to set_sr_layout to restore."""
+    return (SR_SWEEP_IMPL, SR_SYMMETRIC, SR_PAIRED_ROWS)
+
+
+def set_sr_layout(layout) -> tuple:
+    """Select the P3M short-range sweep layout; returns the previous
+    state triple (for restore).  ``layout`` is a name from SR_LAYOUTS
+    or a triple from sr_layout_state().  Layout globals are read at
+    TRACE time — set before building/jitting the accel or block fn;
+    already-compiled executables keep the layout they were traced
+    under."""
+    global SR_SWEEP_IMPL, SR_SYMMETRIC, SR_PAIRED_ROWS
+    prev = sr_layout_state()
+    if isinstance(layout, str):
+        if layout not in SR_LAYOUTS:
+            raise ValueError(
+                f"unknown SR layout {layout!r}; options: "
+                f"{tuple(SR_LAYOUTS)}"
+            )
+        state = SR_LAYOUTS[layout]
+    else:
+        state = tuple(layout)
+        if len(state) != 3:
+            raise ValueError(
+                f"SR layout state must be a (impl, symmetric, paired) "
+                f"triple, got {layout!r}"
+            )
+    SR_SWEEP_IMPL, SR_SYMMETRIC, SR_PAIRED_ROWS = (
+        state[0], bool(state[1]), bool(state[2]))
+    return prev
+
 
 def _use_pallas_sweep(n_slabs: int = 0, paired: bool = False) -> bool:
     """Dispatch: Pallas sweep on TPU when its VMEM-resident tables fit.

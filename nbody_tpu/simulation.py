@@ -145,30 +145,25 @@ class _DeviceRunner(_BlockRunner):
             # the data inside the compiled block — size them here from
             # the CONCRETE initial state (clustered cores make occupancy
             # wildly data-dependent; pm.suggest_sr_plan).
-            periodic = cfg.pm_boundary == "periodic"
-            if not (cfg.pm_capacity and cfg.pm_sr_slabs
-                    and cfg.pm_sr_entries
-                    and (cfg.pm_sr_ghosts or not periodic)):
-                from .ops.pm import (
-                    DEFAULT_CUTOFF_CELLS,
-                    DEFAULT_GRID,
-                    suggest_sr_plan,
-                )
+            cfg.resolve_sr_plan(state.pos, state.mass)
+            # Short-range sweep layout: the explicit --pm-sr-layout
+            # override wins; otherwise --autotune races the layouts
+            # on-device with the measured plan above (the P3M analog of
+            # the tile sweep — pm.SR_LAYOUTS / autotune_sr_layout).
+            # Layout globals are read at trace time, so this must land
+            # before the accel fn below is first traced.
+            from .ops import pm as _pm
 
-                plan = suggest_sr_plan(
-                    state.pos, state.mass,
-                    cfg.pm_grid or DEFAULT_GRID,
-                    cfg.pm_cutoff or DEFAULT_CUTOFF_CELLS,
-                    capacity=cfg.pm_capacity,
-                    boundary=cfg.pm_boundary, box_size=cfg.pm_box,
+            if cfg.pm_sr_layout:
+                _pm.set_sr_layout(cfg.pm_sr_layout)
+            elif cfg.autotune:
+                from .utils.autotune import autotune_sr_layout
+
+                cfg.pm_sr_layout = autotune_sr_layout(
+                    np.asarray(state.pos), np.asarray(state.mass),
+                    cfg.kernel_opts(),
                 )
-                cfg.pm_capacity = plan["capacity"]
-                cfg.pm_sr_slabs = cfg.pm_sr_slabs or plan["sr_slabs"]
-                cfg.pm_sr_entries = (cfg.pm_sr_entries
-                                     or plan["sr_entries"])
-                if periodic:
-                    cfg.pm_sr_ghosts = (cfg.pm_sr_ghosts
-                                        or plan["sr_ghosts"])
+                _pm.set_sr_layout(cfg.pm_sr_layout)
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"

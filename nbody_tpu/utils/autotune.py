@@ -247,3 +247,97 @@ def autotune_tiles(
         disk[key] = list(best)
         _save_disk_cache(disk)
     return best
+
+
+# P3M short-range sweep layouts to race, best-first-guess order (the
+# names key ops/pm.SR_LAYOUTS).  "xla" last: it is the known-slow
+# HBM-streaming baseline everywhere the Pallas tier is eligible, but it
+# must stay in the race — past the VMEM gate (huge N) or under a Mosaic
+# rejection every "pallas*" candidate silently degrades to it, and the
+# tie then resolves to whichever timed first.
+SR_LAYOUT_CANDIDATES: tuple = (
+    "pallas", "pallas_paired", "pallas_sym", "pallas_paired_sym", "xla",
+)
+
+
+def autotune_sr_layout(
+    pos,
+    mass,
+    kernel_opts: Optional[dict] = None,
+    candidates: Optional[Iterable[str]] = None,
+    loops: int = 2,
+    use_disk_cache: bool = True,
+    verbose: bool = False,
+) -> str:
+    """Pick the fastest P3M short-range sweep layout for this device and
+    THIS state (occupancy is data-dependent, so timing runs on the real
+    positions with the caller's measured plan, not synthetic data).
+
+    The reference's tuner re-times its device split every sample block
+    (ver5_all/programming_models/opencl/Compute.cpp:317-321); the P3M
+    analog of that decision is which sweep layout serves the short-range
+    pass — XLA-streaming vs the Pallas table sweep and its symmetric /
+    paired-row variants (ops/pm.py SR_LAYOUTS).  Results cache like the
+    tile families, keyed by device, N, and the resolved mesh/plan
+    geometry (the plan is the distribution's fingerprint).
+
+    Returns the winning layout NAME and leaves the module layout state
+    untouched — apply the winner with ``pm.set_sr_layout(name)``."""
+    import jax
+
+    from ..ops import pm
+
+    opts = dict(kernel_opts or {})
+    opts.setdefault("cutoff_cells", pm.DEFAULT_CUTOFF_CELLS)
+    if not int(opts.get("cutoff_cells") or 0):
+        raise ValueError(
+            "autotune_sr_layout tunes the P3M short-range sweep; "
+            "cutoff_cells must be > 0 (plain pm has no short-range pass)"
+        )
+    names = [c for c in (candidates or SR_LAYOUT_CANDIDATES)
+             if c in pm.SR_LAYOUTS]
+    if not names:
+        raise ValueError(
+            f"no valid SR layout candidates in {candidates!r}; options: "
+            f"{tuple(pm.SR_LAYOUTS)}"
+        )
+    n = int(pos.shape[1])
+    plan_sig = "/".join(
+        str(int(opts.get(k) or 0))
+        for k in ("grid", "cutoff_cells", "capacity", "sr_slabs",
+                  "sr_entries", "sr_ghosts")
+    ) + f"/{opts.get('boundary', 'open')}"
+    key = _cache_key(n, plan_sig, "p3m_sr")
+    if key in _memory_cache:
+        return _memory_cache[key]
+    disk = _load_disk_cache() if use_disk_cache else {}
+    if key in disk and isinstance(disk[key], str):
+        _memory_cache[key] = disk[key]
+        return disk[key]
+
+    def body(_, p):
+        acc = pm.accelerations(p, mass, **opts)
+        return p + np.float32(1e-30) * acc
+
+    best, best_t = None, float("inf")
+    for name in names:
+        prev = pm.set_sr_layout(name)
+        try:
+            t = _diff_time(_loop_runner(body, pos), loops)
+        finally:
+            pm.set_sr_layout(prev)
+        if verbose:
+            print(f"  autotune[p3m_sr] {name}: "
+                  + (f"{t * 1e3:.2f} ms/solve" if t else "failed"))
+        if t is not None and t < best_t:
+            best, best_t = name, t
+    if best is None:
+        raise RuntimeError(
+            "autotune[p3m_sr]: every layout candidate failed to compile"
+        )
+
+    _memory_cache[key] = best
+    if use_disk_cache:
+        disk[key] = best
+        _save_disk_cache(disk)
+    return best

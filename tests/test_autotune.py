@@ -308,3 +308,152 @@ def test_autotune_online_sym_chunked(monkeypatch):
               quiet=True)
     for (s, ke), (s_r, ke_r) in zip(result.kenergy_trace, ref.kenergy_trace):
         assert s == s_r and abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9)
+
+
+def test_sr_layout_setter_roundtrip():
+    """pm.set_sr_layout maps names to the layout globals, returns the
+    previous state for restore, and rejects unknown names."""
+    import pytest
+
+    from nbody_tpu.ops import pm
+
+    orig = pm.sr_layout_state()
+    try:
+        prev = pm.set_sr_layout("pallas_paired_sym")
+        assert prev == orig
+        assert (pm.SR_SWEEP_IMPL, pm.SR_SYMMETRIC,
+                pm.SR_PAIRED_ROWS) == ("auto", True, True)
+        pm.set_sr_layout("xla")
+        assert (pm.SR_SWEEP_IMPL, pm.SR_SYMMETRIC,
+                pm.SR_PAIRED_ROWS) == ("xla", False, False)
+        with pytest.raises(ValueError, match="unknown SR layout"):
+            pm.set_sr_layout("mosaic")
+        with pytest.raises(ValueError, match="triple"):
+            pm.set_sr_layout(("auto", True))
+        # restore from the returned state triple
+        pm.set_sr_layout(orig)
+        assert pm.sr_layout_state() == orig
+    finally:
+        pm.set_sr_layout(orig)
+
+
+def test_autotune_sr_layout_picks_and_caches(tmp_path, monkeypatch):
+    import numpy as np
+    import pytest
+
+    from nbody_tpu.ops import pm
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    rng = np.random.default_rng(3)
+    pos = np.asarray(rng.random((3, 256)), np.float32)
+    mass = np.asarray(rng.random(256), np.float32) / 256
+    orig = pm.sr_layout_state()
+    win = autotune.autotune_sr_layout(
+        pos, mass, dict(grid=16, cutoff_cells=4),
+        candidates=("xla", "pallas_sym"), loops=1)
+    assert win in ("xla", "pallas_sym")
+    # timing must leave the module layout state untouched
+    assert pm.sr_layout_state() == orig
+    # disk cache round-trip: a fresh process-level lookup with a
+    # different candidate list still returns the cached winner
+    autotune._memory_cache.clear()
+    win2 = autotune.autotune_sr_layout(
+        pos, mass, dict(grid=16, cutoff_cells=4), candidates=("xla",),
+        loops=1)
+    assert win2 == win
+    # a different plan signature is a different cache row
+    key_a = autotune._cache_key(256, "16/4/0/0/0/0/open", "p3m_sr")
+    key_b = autotune._cache_key(256, "32/4/0/0/0/0/open", "p3m_sr")
+    assert key_a in autotune._memory_cache
+    assert key_b not in autotune._memory_cache
+    with pytest.raises(ValueError, match="cutoff_cells"):
+        autotune.autotune_sr_layout(pos, mass, dict(grid=16,
+                                                    cutoff_cells=0))
+    with pytest.raises(ValueError, match="candidates"):
+        autotune.autotune_sr_layout(
+            pos, mass, dict(grid=16, cutoff_cells=4),
+            candidates=("mosaic",))
+
+
+def test_engine_sr_layout_wiring(tmp_path, monkeypatch):
+    """--autotune on a p3m run races the SR layouts with the measured
+    plan and applies the winner; --pm-sr-layout forces one without
+    timing."""
+    import nbody_tpu.utils.autotune as at
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.ops import pm
+    from nbody_tpu.simulation import run
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._memory_cache.clear()
+    orig = pm.sr_layout_state()
+    calls = {}
+
+    def fake_tune(pos, mass, opts=None, **kw):
+        calls["opts"] = dict(opts or {})
+        return "pallas_sym"
+
+    monkeypatch.setattr(at, "autotune_sr_layout", fake_tune)
+    try:
+        cfg = SimConfig(n=192, nsteps=10, sfreq=10, kernel="p3m",
+                        pm_grid=16, autotune=True)
+        result = run(cfg, quiet=True)
+        assert len(result.samples) == 1
+        assert cfg.pm_sr_layout == "pallas_sym"
+        assert pm.sr_layout_state() == ("auto", True, False)
+        # the tuner saw the MEASURED plan, not the guaranteed bounds
+        assert calls["opts"].get("capacity")
+        assert calls["opts"].get("sr_slabs")
+
+        # explicit --pm-sr-layout wins without calling the tuner
+        calls.clear()
+        cfg2 = SimConfig(n=192, nsteps=10, sfreq=10, kernel="p3m",
+                         pm_grid=16, pm_sr_layout="xla")
+        run(cfg2, quiet=True)
+        assert not calls
+        assert pm.SR_SWEEP_IMPL == "xla"
+    finally:
+        pm.set_sr_layout(orig)
+
+
+def test_sr_layout_config_validation():
+    import pytest
+
+    from nbody_tpu.config import SimConfig
+
+    with pytest.raises(ValueError, match="unknown --pm-sr-layout"):
+        SimConfig(kernel="p3m", pm_sr_layout="mosaic")
+    with pytest.raises(ValueError, match="pm-sr-layout"):
+        SimConfig(kernel="naive", pm_sr_layout="xla")
+    with pytest.raises(ValueError, match="pm-sr-layout"):
+        SimConfig(kernel="pm", pm_sr_layout="xla")  # no short-range pass
+    SimConfig(kernel="pm", pm_cutoff=4, pm_sr_layout="pallas_paired")
+    SimConfig(kernel="p3m", pm_sr_layout="pallas_paired_sym")
+
+
+def test_sr_layout_force_parity():
+    """The same state solved under each requested layout returns the
+    same forces (on CPU the pallas requests degrade to the XLA sweep
+    with the layout's symmetric flag — the dispatch contract)."""
+    import numpy as np
+
+    from nbody_tpu.ops import pm
+
+    rng = np.random.default_rng(11)
+    pos = np.asarray(rng.random((3, 384)), np.float32)
+    mass = np.asarray(rng.random(384), np.float32) / 384
+    orig = pm.sr_layout_state()
+    try:
+        accs = {}
+        for name in pm.SR_LAYOUTS:
+            pm.set_sr_layout(name)
+            accs[name] = np.asarray(
+                pm.accelerations(pos, mass, grid=16, cutoff_cells=4))
+        base = accs.pop("xla")
+        scale = np.abs(base).max()
+        for name, a in accs.items():
+            err = np.abs(a - base).max() / scale
+            assert err < 1e-5, (name, err)
+    finally:
+        pm.set_sr_layout(orig)

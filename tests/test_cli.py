@@ -140,3 +140,23 @@ def test_fused_with_shards_rejected():
 
     with pytest.raises(ValueError, match="fused"):
         SimConfig(fused=True, shards=2)
+
+
+def test_pm_sr_layout_flag():
+    """--pm-sr-layout parses, reaches the config, and an end-to-end
+    forced-layout p3m run works (and restores nothing globally that a
+    later run would trip on: the engine sets the layout at init)."""
+    from nbody_tpu.ops import pm
+
+    args = build_parser().parse_args(
+        ["--kernel", "p3m", "--pm-sr-layout", "pallas_paired"])
+    assert args.pm_sr_layout == "pallas_paired"
+    orig = pm.sr_layout_state()
+    try:
+        rc, out = _run_cli(["256", "10", "--kernel", "p3m",
+                            "--pm-grid", "16", "--platform", "cpu",
+                            "--pm-sr-layout", "xla"])
+        assert rc == 0
+        assert pm.SR_SWEEP_IMPL == "xla"
+    finally:
+        pm.set_sr_layout(orig)
