@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pm-box", type=float, default=0.0, metavar="L",
                    help="periodic box edge for --pm-boundary periodic "
                         "(positions are wrapped into [0, L))")
+    p.add_argument("--pm-replan", action="store_true",
+                   help="re-measure the P3M short-range plan mid-run "
+                        "when the per-sample-block health check finds "
+                        "cell/ghost overflow on the evolved state "
+                        "(grow-only; rebuilds+recompiles the blocks). "
+                        "Default: warn once and keep the t=0 plan")
     p.add_argument("--pm-sr-layout", default="",
                    choices=["", "xla", "pallas", "pallas_sym",
                             "pallas_paired", "pallas_paired_sym"],
@@ -201,7 +207,7 @@ def main(argv=None) -> int:
         tile_j=args.tile_j or args.dim1, pm_grid=args.pm_grid,
         pm_cutoff=args.pm_cutoff, pm_capacity=args.pm_capacity,
         pm_boundary=args.pm_boundary, pm_box=args.pm_box,
-        pm_sr_layout=args.pm_sr_layout,
+        pm_sr_layout=args.pm_sr_layout, pm_replan=args.pm_replan,
         autotune=args.autotune,
         autotune_online=args.autotune_online,
         fused=args.fused, interpret=args.interpret,

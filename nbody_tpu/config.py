@@ -47,6 +47,11 @@ class SimConfig:
     # SR_LAYOUTS: xla | pallas | pallas_sym | pallas_paired |
     # pallas_paired_sym).  "" = module default, or the measured winner
     # when --autotune is on (utils.autotune.autotune_sr_layout)
+    pm_replan: bool = False  # re-measure the P3M plan mid-run when the
+    # per-sample-block health check (cell/ghost overflow on the CURRENT
+    # state) crosses threshold, growing the static plan and rebuilding
+    # the blocks (recompiles!).  Off = warn once instead; the t=0 plan
+    # stays (overflow degrades toward mesh-quality forces, never worse)
     autotune: bool = False  # on-device tile sweep (OpenCL autotune analog)
     autotune_online: bool = False  # per-sample-block retune DURING the run
     # (the reference's opencl tuner adjusts its split every sample block,
@@ -145,6 +150,15 @@ class SimConfig:
                     "layout; it requires --kernel p3m (or --kernel pm "
                     "with --pm-cutoff > 0)"
                 )
+        if self.pm_replan and not (
+            self.kernel == "p3m"
+            or (self.kernel == "pm" and self.pm_cutoff)
+        ):
+            raise ValueError(
+                "--pm-replan re-measures the P3M short-range plan; it "
+                "requires --kernel p3m (or --kernel pm with "
+                "--pm-cutoff > 0)"
+            )
         if self.kernel in ("pm", "p3m") and self.precision == "bf16":
             # The mesh solver is fp32-only; silently running fp32 while
             # reporting bf16 would misrepresent the configuration

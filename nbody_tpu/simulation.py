@@ -103,6 +103,8 @@ class _DeviceRunner(_BlockRunner):
         self.state: Optional[ParticleState] = None
         self._blocks = {}
         self._pm_measured = 0.0  # measured seconds/step (watchdog feedback)
+        self._sr_health = False  # per-block P3M plan health check
+        self._sr_warned = False
 
     def save(self, path: str, step: int) -> None:
         if self.cfg.checkpoint_backend == "orbax":
@@ -146,6 +148,7 @@ class _DeviceRunner(_BlockRunner):
             # the CONCRETE initial state (clustered cores make occupancy
             # wildly data-dependent; pm.suggest_sr_plan).
             cfg.resolve_sr_plan(state.pos, state.mass)
+            self._sr_health = cfg.nsteps > 0
             # Short-range sweep layout: the explicit --pm-sr-layout
             # override wins; otherwise --autotune races the layouts
             # on-device with the measured plan above (the P3M analog of
@@ -454,11 +457,101 @@ class _DeviceRunner(_BlockRunner):
         )
         self._discard_candidate()
 
+    # Cell-overflow fraction above which the t=0 P3M plan is declared
+    # degraded (overflowed particles fall back to mesh-quality forces —
+    # accuracy decays toward pure PM for those pairs).
+    SR_HEALTH_MAX_OVERFLOW = 0.005
+
+    def _check_sr_health(self) -> None:
+        """Per-sample-block P3M plan health: the static plan was sized
+        from the t=0 state (resolve_sr_plan), but clustering EVOLVES —
+        a collapse run overflows a plan that was exact at start without
+        any error.  Check the overflow diagnostics on the CURRENT state
+        and either warn once (default) or, under --pm-replan,
+        re-measure the plan and rebuild the blocks.  Replanning only
+        ever GROWS the static shapes (max with current), so a run
+        recompiles at most a handful of times as structure forms."""
+        cfg = self.cfg
+        if not self._sr_health:
+            return
+        from .ops import pm
+
+        grid = cfg.pm_grid or pm.DEFAULT_GRID
+        cutoff = cfg.pm_cutoff or pm.DEFAULT_CUTOFF_CELLS
+        frac = float(pm.cell_overflow_fraction(
+            self.state.pos, self.state.mass, grid, cutoff,
+            cfg.pm_capacity, boundary=cfg.pm_boundary,
+            box_size=cfg.pm_box))
+        ghosts = 0
+        if cfg.pm_boundary == "periodic":
+            ghosts = pm.ghost_overflow_count(
+                self.state.pos, self.state.mass, grid, cutoff,
+                sr_ghosts=cfg.pm_sr_ghosts, box_size=cfg.pm_box)
+        if frac <= self.SR_HEALTH_MAX_OVERFLOW and not ghosts:
+            return
+        import sys
+
+        detail = (f"cell overflow {frac:.1%}"
+                  + (f", {ghosts} ghost images dropped" if ghosts
+                     else ""))
+        if not cfg.pm_replan:
+            if not self._sr_warned:
+                self._sr_warned = True
+                print(
+                    f"# p3m plan health: {detail} on the current state "
+                    "— the t=0 plan no longer fits (accuracy degrades "
+                    "toward pure PM for the overflowed pairs"
+                    + (";\n# dropped ghosts lose their short-range term "
+                       "entirely" if ghosts else "")
+                    + ").  Rerun with --pm-replan to re-measure "
+                    "mid-run, or raise --pm-capacity.",
+                    file=sys.stderr,
+                )
+            return
+        plan = pm.suggest_sr_plan(
+            self.state.pos, self.state.mass, grid, cutoff,
+            boundary=cfg.pm_boundary, box_size=cfg.pm_box)
+        grown = dict(
+            pm_capacity=max(cfg.pm_capacity, plan["capacity"]),
+            pm_sr_slabs=max(cfg.pm_sr_slabs, plan["sr_slabs"]),
+            pm_sr_entries=max(cfg.pm_sr_entries, plan["sr_entries"]),
+            pm_sr_ghosts=max(cfg.pm_sr_ghosts,
+                             plan.get("sr_ghosts", 0)),
+        )
+        if all(grown[k] == getattr(cfg, k) for k in grown):
+            # The measured plan cannot grow past the current one (e.g.
+            # ghost churn inside the suggested headroom): nothing to
+            # rebuild, and re-suggesting every block would thrash.
+            if not self._sr_warned:
+                self._sr_warned = True
+                print(
+                    f"# p3m plan health: {detail}, but a re-measured "
+                    "plan is no larger than the current one — raise "
+                    "--pm-capacity explicitly if this persists.",
+                    file=sys.stderr,
+                )
+            return
+        for k, v in grown.items():
+            setattr(cfg, k, v)
+        self._sr_warned = False  # a future degradation re-reports
+        print(
+            f"# p3m plan health: {detail} — replanned to "
+            f"capacity={cfg.pm_capacity} slabs={cfg.pm_sr_slabs} "
+            f"entries={cfg.pm_sr_entries}"
+            + (f" ghosts={cfg.pm_sr_ghosts}"
+               if cfg.pm_boundary == "periodic" else "")
+            + " (blocks rebuild on next sample block)",
+            file=sys.stderr,
+        )
+        self._blocks.clear()
+        self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+
     def observe(self, block_secs: float) -> None:
         """Online per-block retuning (the reference's OpenCL tuner adjusts
         its work split every sample block, opencl/Compute.cpp:317-321).
         Each candidate gets one warm-up block (absorbs its compile) and
         one timed block; after the last candidate the best is locked."""
+        self._check_sr_health()
         ol = self._online
         if not ol or ol["locked"]:
             return

@@ -1272,3 +1272,60 @@ def test_p3m_periodic_sharded_matches_single():
     ref = run(SimConfig(**kw), quiet=True)
     for (s, ke), (s_r, ke_r) in zip(res.kenergy_trace, ref.kenergy_trace):
         assert abs(ke - ke_r) <= 1e-4 * max(abs(ke_r), 1e-9), (s, ke, ke_r)
+
+
+def test_sr_health_warns_on_overflow(capsys):
+    """A pinned-tiny capacity overflows immediately; the per-block
+    health check reports it ONCE on stderr and the run completes (the
+    overflowed pairs degrade to mesh-quality forces, never crash)."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=512, nsteps=100, sfreq=50, kernel="p3m",
+                    pm_grid=16, pm_capacity=1)
+    result = run(cfg, quiet=True)
+    err = capsys.readouterr().err
+    assert len(result.samples) == 2
+    assert err.count("p3m plan health") == 1
+    assert "--pm-replan" in err
+
+
+def test_sr_health_replan_grows_plan(capsys):
+    """--pm-replan re-measures the degraded plan, grows the static
+    shapes, and rebuilds the blocks mid-run."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=512, nsteps=150, sfreq=50, kernel="p3m",
+                    pm_grid=16, pm_capacity=1, pm_replan=True)
+    result = run(cfg, quiet=True)
+    err = capsys.readouterr().err
+    assert len(result.samples) == 3
+    assert "replanned" in err
+    assert cfg.pm_capacity > 1
+    ke = [s[2] for s in result.samples]
+    assert all(np.isfinite(k) for k in ke)
+
+
+def test_sr_health_quiet_when_healthy(capsys):
+    """A measured plan on a static-shape-friendly run emits nothing."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=512, nsteps=50, sfreq=50, kernel="p3m",
+                    pm_grid=16)
+    run(cfg, quiet=True)
+    assert "p3m plan health" not in capsys.readouterr().err
+
+
+def test_pm_replan_config_validation():
+    import pytest
+
+    from nbody_tpu.config import SimConfig
+
+    with pytest.raises(ValueError, match="pm-replan"):
+        SimConfig(kernel="naive", pm_replan=True)
+    with pytest.raises(ValueError, match="pm-replan"):
+        SimConfig(kernel="pm", pm_replan=True)  # no short-range pass
+    SimConfig(kernel="pm", pm_cutoff=4, pm_replan=True)
+    SimConfig(kernel="p3m", pm_replan=True)
