@@ -2341,13 +2341,16 @@ def p3m_accelerations_between(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _cell_counts(pos, mass, grid: int, cutoff_cells: int,
                  boundary: str = "open", box_size: float = 0.0):
     """Per-cell in-box massive-particle counts (n_cells,) for the P3M
     cell list, plus the in-box count (both int32).  Periodic boundaries
     count on the ghost-extended grid INCLUDING the ghost images (a
     capacity must cover the ghost cells too — they mirror the densest
-    boundary regions)."""
+    boundary regions).  Jitted (the engine's per-sample-block health
+    check calls this on the tunneled backend, where eager code
+    dispatches per-op)."""
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
@@ -2395,8 +2398,14 @@ def cell_overflow_fraction(
         nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
         n_cells = nc ** 3
     cap = int(capacity) or _auto_capacity(pos.shape[1], n_cells)
-    counts, n_in = _cell_counts(pos, mass, grid, cutoff_cells,
-                                boundary, box_size)
+    counts, n_in = _cell_counts(pos, mass, int(grid),
+                                int(cutoff_cells), boundary,
+                                float(box_size))
+    return _overflow_frac(counts, n_in, cap)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _overflow_frac(counts, n_in, cap: int):
     return jnp.sum(jnp.maximum(counts - cap, 0)) / jnp.maximum(n_in, 1)
 
 

@@ -85,6 +85,10 @@ class _BlockRunner:
     def observe(self, block_secs: float) -> None:
         """Feedback hook after each full sample block (online retuning)."""
 
+    def finish(self) -> None:
+        """Teardown after the run (also on failure): undo process-global
+        state the runner set up (e.g. a forced SR layout)."""
+
     def save(self, path: str, step: int) -> None:
         raise NotImplementedError
 
@@ -105,6 +109,14 @@ class _DeviceRunner(_BlockRunner):
         self._pm_measured = 0.0  # measured seconds/step (watchdog feedback)
         self._sr_health = False  # per-block P3M plan health check
         self._sr_warned = False
+        self._sr_layout_prev = None  # pm layout state to restore
+
+    def finish(self) -> None:
+        if self._sr_layout_prev is not None:
+            from .ops import pm
+
+            pm.set_sr_layout(self._sr_layout_prev)
+            self._sr_layout_prev = None
 
     def save(self, path: str, step: int) -> None:
         if self.cfg.checkpoint_backend == "orbax":
@@ -158,15 +170,19 @@ class _DeviceRunner(_BlockRunner):
             from .ops import pm as _pm
 
             if cfg.pm_sr_layout:
-                _pm.set_sr_layout(cfg.pm_sr_layout)
+                self._sr_layout_prev = _pm.set_sr_layout(
+                    cfg.pm_sr_layout)
             elif cfg.autotune:
                 from .utils.autotune import autotune_sr_layout
 
+                # Device arrays pass through as-is: np.asarray here
+                # would fetch megabytes over the tunnel (minutes-slow,
+                # CLAUDE.md) and strip the --platform placement.
                 cfg.pm_sr_layout = autotune_sr_layout(
-                    np.asarray(state.pos), np.asarray(state.mass),
-                    cfg.kernel_opts(),
+                    state.pos, state.mass, cfg.kernel_opts(),
                 )
-                _pm.set_sr_layout(cfg.pm_sr_layout)
+                self._sr_layout_prev = _pm.set_sr_layout(
+                    cfg.pm_sr_layout)
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"
@@ -511,6 +527,17 @@ class _DeviceRunner(_BlockRunner):
         plan = pm.suggest_sr_plan(
             self.state.pos, self.state.mass, grid, cutoff,
             boundary=cfg.pm_boundary, box_size=cfg.pm_box)
+        cap = max(cfg.pm_capacity, plan["capacity"])
+        if cap != plan["capacity"]:
+            # S/E must be measured at the capacity the rebuilt blocks
+            # will actually bin with (a bigger cap bins MORE particles
+            # -> more slabs/entries); sizing them at a smaller measured
+            # cap would silently starve the worklist — the exact
+            # failure suggest_sr_plan's docstring warns about.
+            plan = pm.suggest_sr_plan(
+                self.state.pos, self.state.mass, grid, cutoff,
+                capacity=cap, boundary=cfg.pm_boundary,
+                box_size=cfg.pm_box)
         grown = dict(
             pm_capacity=max(cfg.pm_capacity, plan["capacity"]),
             pm_sr_slabs=max(cfg.pm_sr_slabs, plan["sr_slabs"]),
@@ -654,16 +681,28 @@ class _OracleRunner(_BlockRunner):
 
 
 def run(cfg: SimConfig, out=None, quiet: bool = False) -> RunResult:
-    emit = (lambda *_: None) if quiet else reporting.emit
-
-    if cfg.debug_nans:
-        jax.config.update("jax_debug_nans", True)
-
     runner: _BlockRunner
     if cfg.precision == "ref64":
         runner = _OracleRunner(cfg)
     else:
         runner = _DeviceRunner(cfg)
+    try:
+        return _run_prepared(runner, cfg, out, quiet)
+    finally:
+        # A forced/autotuned SR layout applies to THIS run only:
+        # restore the pm module state even on failure, so later runs in
+        # the process see the documented module defaults (or their own
+        # overrides) instead of silently inheriting this run's layout.
+        runner.finish()
+
+
+def _run_prepared(runner: _BlockRunner, cfg: SimConfig, out,
+                  quiet: bool) -> RunResult:
+    emit = (lambda *_: None) if quiet else reporting.emit
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     runner.prepare()
     # Absolute step offset: 0 on fresh runs, the checkpoint's step counter
     # on resume, so printed steps / saved checkpoints continue the counter.

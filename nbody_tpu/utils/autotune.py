@@ -294,12 +294,14 @@ def autotune_sr_layout(
             "autotune_sr_layout tunes the P3M short-range sweep; "
             "cutoff_cells must be > 0 (plain pm has no short-range pass)"
         )
-    names = [c for c in (candidates or SR_LAYOUT_CANDIDATES)
-             if c in pm.SR_LAYOUTS]
-    if not names:
+    names = list(candidates or SR_LAYOUT_CANDIDATES)
+    bad = [c for c in names if c not in pm.SR_LAYOUTS]
+    if bad or not names:
+        # A typo'd name silently shrinking the race (and persisting the
+        # wrong winner to the disk cache) is worse than an error.
         raise ValueError(
-            f"no valid SR layout candidates in {candidates!r}; options: "
-            f"{tuple(pm.SR_LAYOUTS)}"
+            f"invalid SR layout candidates {bad or candidates!r}; "
+            f"options: {tuple(pm.SR_LAYOUTS)}"
         )
     n = int(pos.shape[1])
     plan_sig = "/".join(

@@ -395,26 +395,39 @@ def test_engine_sr_layout_wiring(tmp_path, monkeypatch):
         return "pallas_sym"
 
     monkeypatch.setattr(at, "autotune_sr_layout", fake_tune)
+    applied = []
+    real_set = pm.set_sr_layout
+
+    def recording_set(layout):
+        applied.append(layout)
+        return real_set(layout)
+
+    monkeypatch.setattr(pm, "set_sr_layout", recording_set)
     try:
         cfg = SimConfig(n=192, nsteps=10, sfreq=10, kernel="p3m",
                         pm_grid=16, autotune=True)
         result = run(cfg, quiet=True)
         assert len(result.samples) == 1
         assert cfg.pm_sr_layout == "pallas_sym"
-        assert pm.sr_layout_state() == ("auto", True, False)
+        # the winner was applied for the run, then RESTORED (a layout
+        # applies to its run; later runs see the module defaults)
+        assert applied[0] == "pallas_sym"
+        assert pm.sr_layout_state() == orig
         # the tuner saw the MEASURED plan, not the guaranteed bounds
         assert calls["opts"].get("capacity")
         assert calls["opts"].get("sr_slabs")
 
         # explicit --pm-sr-layout wins without calling the tuner
         calls.clear()
+        applied.clear()
         cfg2 = SimConfig(n=192, nsteps=10, sfreq=10, kernel="p3m",
                          pm_grid=16, pm_sr_layout="xla")
         run(cfg2, quiet=True)
         assert not calls
-        assert pm.SR_SWEEP_IMPL == "xla"
+        assert applied[0] == "xla"
+        assert pm.sr_layout_state() == orig
     finally:
-        pm.set_sr_layout(orig)
+        real_set(orig)
 
 
 def test_sr_layout_config_validation():

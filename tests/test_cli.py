@@ -143,9 +143,10 @@ def test_fused_with_shards_rejected():
 
 
 def test_pm_sr_layout_flag():
-    """--pm-sr-layout parses, reaches the config, and an end-to-end
-    forced-layout p3m run works (and restores nothing globally that a
-    later run would trip on: the engine sets the layout at init)."""
+    """--pm-sr-layout parses, reaches the config, an end-to-end
+    forced-layout p3m run works, and the layout is RESTORED afterwards
+    (it applies to its run; later runs in the process see the module
+    defaults)."""
     from nbody_tpu.ops import pm
 
     args = build_parser().parse_args(
@@ -157,6 +158,6 @@ def test_pm_sr_layout_flag():
                             "--pm-grid", "16", "--platform", "cpu",
                             "--pm-sr-layout", "xla"])
         assert rc == 0
-        assert pm.SR_SWEEP_IMPL == "xla"
+        assert pm.sr_layout_state() == orig
     finally:
         pm.set_sr_layout(orig)
