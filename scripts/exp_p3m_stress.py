@@ -41,7 +41,6 @@ def _per_step(make_blk, state, steps):
 
 
 def crossover(args):
-    import jax.numpy as jnp
 
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import make_accel_fn, make_block_fn

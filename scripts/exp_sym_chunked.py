@@ -30,7 +30,6 @@ def sweep_rate(n, per, block):
     """Difference-time the sym chunked sweep itself (per/block choice)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import _make_sym_chunked_sweep
