@@ -96,6 +96,20 @@ def main():
     print(f"  speedup vs replicated: {t_old/t_new:.2f}x; "
           f"vs single-device: {t_one/t_new:.2f}x")
 
+    # Compiler-side evidence, immune to virtual-mesh core contention
+    # (all 8 "devices" share host cores, so wall-clock understates the
+    # win): XLA's per-shard cost model.  The FFT convolution is
+    # REPLICATED by design (O(ng^3 log ng), cheap), so flops barely
+    # move; the deposit/gather tier — the part that must scale with
+    # N/K — shows up as bytes-accessed and transcendentals.
+    for tag, fn in (("local-deposit + grid-psum", local),
+                    ("replicated allgather (r2)", gather)):
+        ca = fn.lower(sharded.pos, sharded.mass).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        print(f"  cost[{tag:28s}]: bytes={ca['bytes accessed']:.3e} "
+              f"transcendentals={ca.get('transcendentals', 0.0):.3e} "
+              f"flops={ca['flops']:.3e}")
+
 
 if __name__ == "__main__":
     main()
