@@ -112,6 +112,26 @@ p_dot = np.abs((mass * a).sum(axis=1))
 scale = np.abs(mass[None, :] * a).sum(axis=1)
 assert np.all(p_dot < 1e-4 * scale), f"periodic momentum leak: {p_dot}"
 print("   periodic p3m momentum closed ok")
+# Linear-theory absolute normalization on the REAL chip: a Zel'dovich
+# plane wave on a cold lattice must feel a = 4 pi G rho (ke)K1(ke) xi
+# (0.4% on CPU — tests/test_p3m.py; gate 2% covers backend fp drift).
+import jax.numpy as jnp
+from nbody_tpu.types import G_NEWTON, SOFTENING_SQUARED
+nl = 16
+q1 = (np.arange(nl) + 0.5) / nl
+qx, qy, qz = np.meshgrid(q1, q1, q1, indexing="ij")
+q = np.stack([qx.ravel(), qy.ravel(), qz.ravel()]).astype(np.float32)
+k, A = np.float32(2 * np.pi), np.float32(0.002)
+p = q.copy(); p[0] += A * np.sin(k * q[0])
+m = np.full((nl ** 3,), 1.0 / nl ** 3, np.float32)
+a = np.asarray(jax.jit(lambda p_, m_: pm.accelerations(
+    p_, m_, grid=32, boundary="periodic", box_size=1.0))(p, m))
+proj = 2.0 / nl ** 3 * np.sum(a[0] * np.sin(k * q[0]))
+pred = float(4 * np.pi * G_NEWTON
+             * pm._xk1(jnp.float32(k * np.sqrt(SOFTENING_SQUARED))) * A)
+d = abs(proj / pred - 1.0)
+assert d < 0.02, f"linear-response normalization off: {d:.3e}"
+print(f"   periodic linear response ok ({d:.1e} vs 4piG rho xK1(x))")
 PY
 # The parity runs above already proved the device reachable — skip
 # bench.py's subprocess probe (a duplicate backend handshake) here.

@@ -1413,3 +1413,24 @@ def test_periodic_linear_growth_rate():
     D = 2.0 / n * np.sum((xp[0] - q[0]) * np.sin(k * q[0]))
     growth = D / A
     assert abs(growth / np.cosh(1.0) - 1.0) < 2e-2, growth
+
+
+def test_sr_health_replan_sharded():
+    """The plan health check + --pm-replan also serve SHARDED p3m runs
+    (the diagnostics are plain jitted calls over the globally-viewed
+    sharded state; replan clears the pm-sub block cache so the next
+    sample block rebuilds at the grown static shapes)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import run
+
+    cfg = SimConfig(n=512, nsteps=100, sfreq=50, kernel="p3m",
+                    pm_grid=16, pm_capacity=1, pm_replan=True,
+                    shards=4)
+    result = run(cfg, quiet=True)
+    assert len(result.samples) == 2
+    assert cfg.pm_capacity > 1
+    assert all(np.isfinite(s[2]) for s in result.samples)
