@@ -143,6 +143,10 @@ def main():
     args = p.parse_args()
     import jax
 
+    from nbody_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()  # remote compiles are 1-300 s; reuse them
+
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}")
     if not args.skip_crossover:

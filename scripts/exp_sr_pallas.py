@@ -176,6 +176,9 @@ def main():
     args = p.parse_args()
     import jax
 
+    from nbody_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()  # remote compiles are 1-300 s; reuse them
     from nbody_tpu.init import make_state
     from nbody_tpu.ops import pm
 

@@ -283,6 +283,10 @@ def main():
     p.add_argument("--trials", type=int, default=3)
     args = p.parse_args()
 
+    from nbody_tpu.__main__ import _enable_compilation_cache
+
+    _enable_compilation_cache()  # remote compiles are 1-300 s; reuse them
+
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {dev.device_kind}")
     for v in args.variants.split(","):
