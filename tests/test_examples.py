@@ -29,6 +29,22 @@ def test_fit_velocities_example(capsys):
     assert "recovered initial velocities" in out
 
 
+def test_ensemble_example(capsys):
+    _run_example("examples/ensemble.py", ["4", "128", "5", "naive"])
+    out = capsys.readouterr().out
+    assert out.count("member ") == 4
+
+
+def test_ensemble_example_meshed(capsys):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _run_example("examples/ensemble.py",
+                 ["8", "128", "5", "naive", "--mesh"])
+    assert "no collectives" in capsys.readouterr().out
+
+
 def test_render_collapse_example(tmp_path):
     pytest.importorskip("matplotlib")
     png = str(tmp_path / "c.png")
