@@ -58,14 +58,21 @@ def main() -> int:
 
     out, kes = blk(ens)  # compile + run
     kes = np.asarray(kes)
-    t0 = time.perf_counter()
-    out, kes2 = blk(ens)
-    np.asarray(kes2)
-    dt = time.perf_counter() - t0
+
+    def timed(runs):
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            _, k2 = blk(ens)
+        np.asarray(k2)  # value fetch = the only true sync here
+        return time.perf_counter() - t0
+
+    # Difference timing (CLAUDE.md): the flat ~38 ms fetch cost on a
+    # tunneled backend cancels between the 1-run and 3-run timings.
+    dt = max((timed(3) - timed(1)) / 2, 1e-9)
     for i, ke in enumerate(kes):
         print(f"member {i}: seed={100 + i} kenergy={ke:.4f}")
     print(f"# {e} members x {steps} steps in {dt * 1e3:.1f} ms warm "
-          f"({dt * 1e3 / e:.1f} ms/member)")
+          f"({dt * 1e3 / e:.1f} ms/member, difference-timed)")
     return 0
 
 

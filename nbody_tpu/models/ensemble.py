@@ -54,6 +54,11 @@ def stack_states(states: Sequence[ParticleState]) -> ParticleState:
 
 def member(state: ParticleState, i: int) -> ParticleState:
     """Extract member ``i`` of an ensemble state."""
+    e = state.pos.shape[0]
+    if not -e <= i < e:
+        # jnp integer indexing CLAMPS out-of-bounds — a wrong E would
+        # silently duplicate the last member instead of erroring.
+        raise IndexError(f"member {i} out of range for ensemble of {e}")
     return ParticleState(pos=state.pos[i], vel=state.vel[i],
                          mass=state.mass[i], n=state.n)
 
@@ -72,24 +77,66 @@ def make_ensemble_block_fn(
     ``accel_fn`` is any single-system registry kernel binding
     (``gravity.make_accel_fn``) — every kernel family vmaps, including
     the Pallas sweeps (batch grid dimension) and the mesh tiers
-    (batched FFTs).  With ``mesh``, member arrays are constrained to be
-    sharded over the ensemble axis (`P(axis)` on the leading dim) —
-    collective-free data parallelism over runs, so E members on K
-    devices cost the wall-clock of ceil(E/K) members."""
+    (batched FFTs).  With ``mesh``, the member axis is split via
+    ``shard_map`` so each device runs its E/K members WHOLE — no
+    collectives, and no reliance on GSPMD auto-partitioning the member
+    programs (it cannot split an FFT or a Mosaic kernel without
+    inserting all-gathers; whole-member placement sidesteps that
+    entirely).  E must divide the mesh size."""
     blk = make_block_fn(accel_fn, dt, steps, integrator=integrator)
     vblk = jax.vmap(blk)
     if mesh is None:
         return jax.jit(vblk)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    sh = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
+    try:  # jax >= 0.6 exposes shard_map at top level
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
-    def sharded(ens):
-        # Same treedef as the ensemble state (n is static aux data),
-        # sharding leaves over the leading (member) axis.
-        constraint = ParticleState(pos=sh, vel=sh, mass=sh, n=ens.n)
-        ens = jax.lax.with_sharding_constraint(ens, constraint)
-        return vblk(ens)
+    ax = axis or mesh.axis_names[0]
+    k = mesh.shape[ax]
+    spec = P(ax)
+    jitted_by_n: dict = {}
 
-    return jax.jit(sharded)
+    def _build(n: int):
+        def local_members(pos, vel, mass):
+            # Runs per device on its local slice of the member axis;
+            # the ParticleState is rebuilt inside (shard_map specs are
+            # per-array, and n is static metadata).
+            out, ke = vblk(ParticleState(pos=pos, vel=vel, mass=mass,
+                                         n=n))
+            return out.pos, out.vel, out.mass, ke
+
+        kw = dict(mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=(spec, spec, spec, spec))
+        try:
+            # Pallas calls don't carry varying-mesh-axes metadata yet;
+            # disable the replication checker (check_rep pre-0.7).
+            smf = shard_map(local_members, check_vma=False, **kw)
+        except TypeError:  # pragma: no cover
+            smf = shard_map(local_members, check_rep=False, **kw)
+        return jax.jit(smf)
+
+    def run(ens: ParticleState):
+        e = ens.pos.shape[0]
+        if e % k:
+            raise ValueError(
+                f"ensemble size {e} must divide over the {k}-device "
+                f"mesh axis {ax!r} (whole members per device)"
+            )
+        if ens.n not in jitted_by_n:
+            jitted_by_n[ens.n] = _build(ens.n)
+        pos, vel, mass, ke = jitted_by_n[ens.n](
+            ens.pos, ens.vel, ens.mass)
+        return ParticleState(pos=pos, vel=vel, mass=mass, n=ens.n), ke
+
+    # For the HLO-inspection path (tests): expose a lower() analog.
+    def lower(ens: ParticleState):
+        if ens.n not in jitted_by_n:
+            jitted_by_n[ens.n] = _build(ens.n)
+        return jitted_by_n[ens.n].lower(ens.pos, ens.vel, ens.mass)
+
+    run.lower = lower
+    return run

@@ -32,6 +32,8 @@ python -m nbody_tpu 65536 10 --sfreq 5 --kernel pm 2>/dev/null | extract \
     | awk '{if ($2+0 != $2) exit 1}' \
     && echo "   pm trace finite ok" || { echo "FAIL: pm trace"; exit 1; }
 python - <<'PY'
+from nbody_tpu.__main__ import _enable_compilation_cache
+_enable_compilation_cache()  # new shapes remote-compile in 1-300 s; reuse
 from nbody_tpu.init import make_state
 from nbody_tpu.ops import pm
 state = make_state(65536, pad_multiple=1024)
@@ -43,6 +45,8 @@ PY
 # compiled Pallas-sweep/XLA-sweep agreement on the real chip.
 echo "== p3m short-range tier (Plummer accuracy + Pallas sweep parity)"
 python - <<'PY'
+from nbody_tpu.__main__ import _enable_compilation_cache
+_enable_compilation_cache()  # new shapes remote-compile in 1-300 s; reuse
 import numpy as np
 from nbody_tpu.models.distributions import plummer
 from nbody_tpu.ops import pm
@@ -87,6 +91,8 @@ PY
 # backend-independent.
 echo "== periodic boundary mode (pm + p3m)"
 python - <<'PY'
+from nbody_tpu.__main__ import _enable_compilation_cache
+_enable_compilation_cache()  # new shapes remote-compile in 1-300 s; reuse
 import numpy as np
 from nbody_tpu.ops import pm
 pos = np.array([[0.01, 0.99], [0.5, 0.5], [0.5, 0.5]], np.float32)

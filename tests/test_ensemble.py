@@ -46,9 +46,18 @@ def test_ensemble_matches_per_member(kernel, opts):
             1.0, abs(float(ke_ref)))
 
 
-def test_ensemble_sharded_over_members():
+@pytest.mark.parametrize("kernel,opts", [
+    ("naive", {}),
+    ("pallas", dict(interpret=True, tile_i=64, tile_j=64)),
+    ("pm", dict(grid=16)),
+])
+def test_ensemble_sharded_over_members(kernel, opts):
     """The ensemble axis shards over the device mesh with NO
-    collectives (embarrassingly parallel members) and stays exact."""
+    collectives for EVERY kernel family and stays exact.  shard_map
+    places whole members per device — GSPMD auto-partitioning cannot
+    split a vmapped FFT or Mosaic kernel without inserting all-gathers
+    (the original with_sharding_constraint formulation did exactly
+    that; caught by this test's HLO scan once parametrized)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from nbody_tpu.parallel.mesh import make_mesh
@@ -56,23 +65,24 @@ def test_ensemble_sharded_over_members():
     e, n, steps = 8, 128, 3
     states = _members(e, n)
     ens = stack_states(states)
-    accel = make_accel_fn("naive")
+    accel = make_accel_fn(kernel, **opts)
     mesh = make_mesh(8)
-    out_sh, ke_sh = make_ensemble_block_fn(
-        accel, 0.1, steps, mesh=mesh)(ens)
+    fn = make_ensemble_block_fn(accel, 0.1, steps, mesh=mesh)
+    out_sh, ke_sh = fn(ens)
     out, ke = make_ensemble_block_fn(accel, 0.1, steps)(ens)
     np.testing.assert_allclose(np.asarray(ke_sh), np.asarray(ke),
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_sh.pos),
                                np.asarray(out.pos), rtol=1e-6,
                                atol=1e-7)
-    # no cross-member communication in the compiled program
-    lowered = make_ensemble_block_fn(
-        accel, 0.1, steps, mesh=mesh).lower(ens)
-    hlo = lowered.compile().as_text()
+    # no cross-member communication in the compiled program (reuses
+    # fn's jit cache — no second trace)
+    hlo = fn.lower(ens).compile().as_text()
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "all-to-all"):
         assert coll not in hlo, f"unexpected collective: {coll}"
+    with pytest.raises(ValueError, match="divide"):
+        fn(stack_states(_members(6, n)))
 
 
 def test_stack_states_validation():
@@ -82,6 +92,12 @@ def test_stack_states_validation():
         stack_states([a, b])
     with pytest.raises(ValueError, match="at least one"):
         stack_states([])
+    # member() must not silently clamp a wrong index (jnp indexing
+    # would return the LAST member)
+    ens = stack_states([a, make_state(64, pad_multiple=8, seed=3)])
+    with pytest.raises(IndexError, match="out of range"):
+        member(ens, 2)
+    assert member(ens, -1).pos is not None
 
 
 def test_ensemble_grad_flows():

@@ -1420,8 +1420,6 @@ def test_sr_health_replan_sharded():
     (the diagnostics are plain jitted calls over the globally-viewed
     sharded state; replan clears the pm-sub block cache so the next
     sample block rebuilds at the grown static shapes)."""
-    import jax
-
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
     from nbody_tpu.config import SimConfig
