@@ -507,21 +507,29 @@ class _DeviceRunner(_BlockRunner):
             return
         import sys
 
+        # Multi-process runs: every rank computes the diagnostics (and
+        # replans — cfg mutations must stay rank-identical for the
+        # rebuilt shard_map blocks to agree), but only rank 0 narrates
+        # (the reference gates all output on world_rank 0,
+        # ver5_all/GSimulation.cpp:119).
+        def _say(msg):
+            if jax.process_index() == 0:
+                print(msg, file=sys.stderr)
+
         detail = (f"cell overflow {frac:.1%}"
                   + (f", {ghosts} ghost images dropped" if ghosts
                      else ""))
         if not cfg.pm_replan:
             if not self._sr_warned:
                 self._sr_warned = True
-                print(
+                _say(
                     f"# p3m plan health: {detail} on the current state "
                     "— the t=0 plan no longer fits (accuracy degrades "
                     "toward pure PM for the overflowed pairs"
                     + (";\n# dropped ghosts lose their short-range term "
                        "entirely" if ghosts else "")
                     + ").  Rerun with --pm-replan to re-measure "
-                    "mid-run, or raise --pm-capacity.",
-                    file=sys.stderr,
+                    "mid-run, or raise --pm-capacity."
                 )
             return
         plan = pm.suggest_sr_plan(
@@ -551,24 +559,22 @@ class _DeviceRunner(_BlockRunner):
             # rebuild, and re-suggesting every block would thrash.
             if not self._sr_warned:
                 self._sr_warned = True
-                print(
+                _say(
                     f"# p3m plan health: {detail}, but a re-measured "
                     "plan is no larger than the current one — raise "
-                    "--pm-capacity explicitly if this persists.",
-                    file=sys.stderr,
+                    "--pm-capacity explicitly if this persists."
                 )
             return
         for k, v in grown.items():
             setattr(cfg, k, v)
         self._sr_warned = False  # a future degradation re-reports
-        print(
+        _say(
             f"# p3m plan health: {detail} — replanned to "
             f"capacity={cfg.pm_capacity} slabs={cfg.pm_sr_slabs} "
             f"entries={cfg.pm_sr_entries}"
             + (f" ghosts={cfg.pm_sr_ghosts}"
                if cfg.pm_boundary == "periodic" else "")
-            + " (blocks rebuild on next sample block)",
-            file=sys.stderr,
+            + " (blocks rebuild on next sample block)"
         )
         self._blocks.clear()
         self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
