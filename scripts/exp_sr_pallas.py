@@ -173,7 +173,13 @@ def main():
     p.add_argument("--ng", type=int, default=128)
     p.add_argument("--skip-slab", action="store_true")
     p.add_argument("--skip-full", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="rehearse on the host backend (no tunnel)")
     args = p.parse_args()
+    if args.cpu:
+        from nbody_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
     import jax
 
     from nbody_tpu.__main__ import _enable_compilation_cache

@@ -238,7 +238,8 @@ def measure(variant, n, block, loops, reps=3):
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.random((3, n)), jnp.float32)
     mass = jnp.asarray(rng.random(n), jnp.float32)
-    fn = functools.partial(accelerations, block=block, variant=variant)
+    fn = functools.partial(accelerations, block=block, variant=variant,
+                           interpret=jax.default_backend() != "tpu")
 
     def body(_, p):
         return p + np.float32(1e-30) * fn(p, mass)
@@ -281,7 +282,13 @@ def main():
     p.add_argument("--blocks", default="1024")
     p.add_argument("--variants", default="base,acc,jbatch2,acc+jb2")
     p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--cpu", action="store_true",
+                   help="rehearse on the host backend (no tunnel)")
     args = p.parse_args()
+    if args.cpu:
+        from nbody_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
 
     from nbody_tpu.__main__ import _enable_compilation_cache
 

@@ -124,7 +124,13 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--trials", type=int, default=3,
                    help="independent difference-timing trials (spread)")
+    p.add_argument("--cpu", action="store_true",
+                   help="rehearse on the host backend (no tunnel)")
     args = p.parse_args()
+    if args.cpu:
+        from nbody_tpu.utils.platform import force_cpu
+
+        force_cpu(1)
 
     import jax
 
