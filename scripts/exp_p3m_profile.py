@@ -41,22 +41,27 @@ def _time_loop(make_run, base_reps):
     return max(t(2 * L) - t(L), 1e-9) / L
 
 
-def _staged(fn, reps):
-    """Time `fn(carry) -> scalar-ish` as a k-repeat jitted loop."""
+def _staged(fn, reps, env):
+    """Time `fn(carry, env) -> scalar-ish` as a k-repeat jitted loop.
+
+    ``env`` (a pytree of device arrays) is passed as a JIT ARGUMENT, not
+    a closure: zero-arg jits embed closed-over arrays as MLIR constants
+    via a host fetch, and complex64 fetches raise UNIMPLEMENTED on the
+    tunneled backend (CLAUDE.md gotchas)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     def make_run(k):
         @jax.jit
-        def run():
+        def run(env):
             def body(i, carry):
-                out = fn(carry)
+                out = fn(carry, env)
                 return jnp.asarray(out, jnp.float32).reshape(-1)[0]
 
             return lax.fori_loop(0, k, body, jnp.float32(0))
 
-        return run
+        return lambda: run(env)
 
     return _time_loop(make_run, reps)
 
@@ -101,48 +106,62 @@ def profile_one(state, ng, cutoff, reps, label):
         x.block_until_ready()
 
     rows = []
+    env = dict(
+        pos=pos, mass=mass, m_in=m_in, lo_box=lo_box, hi_box=hi_box,
+        span=span, lo=lo, inv_h=inv_h, h=h, rho=rho, rho_hat=rho_hat,
+        rc2=rc2, cid=cid, inc=inc, ptab=ptab, mtab=mtab,
+        slab_lo=slab_lo, slab_hi=slab_hi, wl_t=wl_t, wl_s=wl_s, n_e=n_e,
+        kx=kx, ky=ky, kz=kz, sx=sx, sy=sy, sz=sz, acc_grids=acc_grids,
+    )
 
     def rec(name, fn):
-        t = _staged(fn, reps)
+        t = _staged(fn, reps, env)
         rows.append((name, t * 1e3))
         print(f"{label:>22} {name:>12} {t*1e3:>9.2f} ms", flush=True)
 
-    rec("box", lambda c: pm._robust_box(pos + c, mass)[0][0, 0])
-    rec("moments", lambda c: pm._outlier_moments(
-        pos + c, mass, m_in, lo_box, hi_box, lambda x: x)[0])
-    rec("deposit", lambda c: pm._deposit(
-        pos + c, m_in, lo, inv_h, ng)[0, 0, 0])
-    rec("rho_fft", lambda c: jnp.fft.fftn(
-        rho + c, s=(m, m, m)).real[0, 0, 0])
-    rec("spectra6", lambda c: pm._p3m_spectra(h + c, ng, rc2)[0][0]
-        .real[0, 0, 0])
-    rec("inv3", lambda c: sum(
-        jnp.fft.ifftn((rho_hat + c) * k).real[0, 0, 0]
-        for k in (kx, ky, kz)))
+    rec("box", lambda c, e: pm._robust_box(
+        e["pos"] + c, e["mass"])[0][0, 0])
+    rec("moments", lambda c, e: pm._outlier_moments(
+        e["pos"] + c, e["mass"], e["m_in"], e["lo_box"], e["hi_box"],
+        lambda x: x)[0])
+    rec("deposit", lambda c, e: pm._deposit(
+        e["pos"] + c, e["m_in"], e["lo"], e["inv_h"], ng)[0, 0, 0])
+    rec("rho_fft", lambda c, e: jnp.fft.fftn(
+        e["rho"] + c, s=(m, m, m)).real[0, 0, 0])
+    rec("spectra6", lambda c, e: pm._p3m_spectra(
+        e["h"] + c, ng, e["rc2"])[0][0].real[0, 0, 0])
+    rec("inv3", lambda c, e: sum(
+        jnp.fft.ifftn((e["rho_hat"] + c) * e[k]).real[0, 0, 0]
+        for k in ("kx", "ky", "kz")))
     # Overflow branch extras: complement deposit+fft plus 3 MORE ifftns
     # (comp_grids) — the _over branch runs 6 ifftns total vs _plain's 3.
-    rec("over_extra", lambda c: (
+    rec("over_extra", lambda c, e: (
         lambda roh: sum(
-            jnp.fft.ifftn((rho_hat - roh) * s).real[0, 0, 0]
-            for s in (sx, sy, sz)))(
-        jnp.fft.fftn(pm._deposit(pos + c, m_in * 0.01, lo, inv_h, ng),
+            jnp.fft.ifftn((e["rho_hat"] - roh) * e[s]).real[0, 0, 0]
+            for s in ("sx", "sy", "sz")))(
+        jnp.fft.fftn(pm._deposit(e["pos"] + c, e["m_in"] * 0.01,
+                                 e["lo"], e["inv_h"], ng),
                      s=(m, m, m))))
-    rec("gather", lambda c: pm._gather(
-        acc_grids, pos + c, lo, inv_h, ng)[0, 0])
-    rec("bincid", lambda c: pm._bin_cids(
-        pos + c, lo_box, span, nc, inc)[0])
-    rec("sort1", lambda c: jnp.argsort(cid + jnp.int32(c * 0))[0])
-    rec("pack", lambda c: pm._sr_pack(
-        cid + jnp.int32(c * 0), pos, m_in, n_cells, cap, s_max)[0][0, 0])
-    rec("ranges", lambda c: pm._sr_ranges(
-        slab_lo + jnp.int32(c * 0), slab_hi, nc, sub, e_max)[2])
+    rec("gather", lambda c, e: pm._gather(
+        e["acc_grids"], e["pos"] + c, e["lo"], e["inv_h"], ng)[0, 0])
+    rec("bincid", lambda c, e: pm._bin_cids(
+        e["pos"] + c, e["lo_box"], e["span"], nc, e["inc"])[0])
+    rec("sort1", lambda c, e: jnp.argsort(
+        e["cid"] + jnp.int32(c * 0))[0])
+    rec("pack", lambda c, e: pm._sr_pack(
+        e["cid"] + jnp.int32(c * 0), e["pos"], e["m_in"], n_cells, cap,
+        s_max)[0][0, 0])
+    rec("ranges", lambda c, e: pm._sr_ranges(
+        e["slab_lo"] + jnp.int32(c * 0), e["slab_hi"], nc, sub,
+        e_max)[2])
     interp = jax.default_backend() != "tpu"
-    rec("sweep", lambda c: pm._sr_sweep_pallas(
-        ptab + c, mtab, wl_t, wl_s,
-        (jnp.zeros((), jnp.int32), jnp.minimum(n_e, e_max)), rc2,
-        interpret=interp)[0, 0])
-    rec("FULL p3m", lambda c: pm.accelerations(
-        pos + c, mass, grid=ng, cutoff_cells=cutoff, **plan)[0, 0])
+    rec("sweep", lambda c, e: pm._sr_sweep_pallas(
+        e["ptab"] + c, e["mtab"], e["wl_t"], e["wl_s"],
+        (jnp.zeros((), jnp.int32), jnp.minimum(e["n_e"], e_max)),
+        e["rc2"], interpret=interp)[0, 0])
+    rec("FULL p3m", lambda c, e: pm.accelerations(
+        e["pos"] + c, e["mass"], grid=ng, cutoff_cells=cutoff,
+        **plan)[0, 0])
 
     staged = sum(t for name, t in rows
                  if name not in ("FULL p3m", "sort1"))
