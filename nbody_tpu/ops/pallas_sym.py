@@ -175,7 +175,23 @@ def _sym_kernel(ps_rows, out_ref, itile_s, *, block, nblocks, fold_mass,
             out_ref[2:3, js] -= jside(pz)
             return (ax, ay, az)
 
-        ax, ay, az = lax.fori_loop(it + 1, nblocks, jt_body, (ax, ay, az))
+        # 2x-unrolled j sweep: two INDEPENDENT (B,B) tiles per iteration
+        # so tile k+1's rsqrt issues while tile k's elementwise tail
+        # drains (measured +3% at N>=65536 on v5e —
+        # logs/hw_contact/sym_headroom.log, unroll2 vs base), plus a
+        # remainder loop.  Manual: fori_loop's unroll= needs static
+        # bounds and ``it`` is traced.  jt_body runs unchanged in the
+        # same tile order, so every fp32 sum is BIT-identical to the
+        # un-unrolled sweep (golden-trace invariant).
+        nfull = (nblocks - it - 1) // 2
+
+        def jt_two(k, acc):
+            j = it + 1 + 2 * k
+            return jt_body(j + 1, jt_body(j, acc))
+
+        acc = lax.fori_loop(0, nfull, jt_two, (ax, ay, az))
+        ax, ay, az = lax.fori_loop(it + 1 + 2 * nfull, nblocks, jt_body,
+                                   acc)
         isl = pl.ds(i0, B)
         out_ref[0:1, isl] += jnp.transpose(ax)  # (B,1) -> (1,B)
         out_ref[1:2, isl] += jnp.transpose(ay)
@@ -240,7 +256,12 @@ def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj,
             return (ax, ay, az)
 
         zero = jnp.zeros((B, 1), jnp.float32)
-        ax, ay, az = lax.fori_loop(0, nbj, jt_body, (zero, zero, zero))
+        # unroll=2: overlap consecutive tiles' rsqrts (the _sym_kernel
+        # manual-unroll win, logs/hw_contact/sym_headroom.log); static
+        # bounds here so fori_loop unrolls directly.  Body order is
+        # unchanged — sums stay bit-identical.
+        ax, ay, az = lax.fori_loop(0, nbj, jt_body, (zero, zero, zero),
+                                   unroll=2)
         isl = pl.ds(i0, B)
         out_t[0:1, isl] = jnp.transpose(ax)
         out_t[1:2, isl] = jnp.transpose(ay)
