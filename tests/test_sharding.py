@@ -286,3 +286,93 @@ def test_sharded_pm_cost_model_scales():
     assert (new.get("transcendentals", 0.0)
             <= 1.05 * old.get("transcendentals", 1.0)), (
         new.get("transcendentals"), old.get("transcendentals"))
+
+def _opt_hlo(fn, in_specs, out_specs, mesh, *args):
+    from nbody_tpu.parallel.decompose import shard_map
+
+    smf = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False)
+    return jax.jit(smf).lower(*args).compile().as_text()
+
+
+def test_ring_permute_chain_is_compute_independent():
+    """Structural overlap guarantee for the ring (round-3 VERDICT item
+    6): in the OPTIMIZED HLO, every hop's collective-permute consumes
+    the PREVIOUS permute's output directly — never anything derived from
+    the pair kernel — so the whole K-1-hop permute chain is dataflow-
+    independent of the force computation and XLA's scheduler is FREE to
+    run hop n+1's transfer under hop n's compute.  (Real-ICI timing
+    needs multi-chip hardware — ROADMAP; this pins the property the
+    overlap claim rests on.)  A regression that threads the ring buffer
+    through the force math (serializing the ring) breaks the chain and
+    fails here."""
+    import re
+
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.ops import registry
+    from nbody_tpu.parallel.decompose import _accel_ring
+    from nbody_tpu.parallel.mesh import AXIS
+
+    k = 8
+    state = make_state(512, pad_multiple=8)
+    sharded, mesh = shard_state(state, k)
+    between = registry.get_between("naive")
+
+    def fn(pos_l, mass_l):
+        return _accel_ring(between, pos_l, mass_l)
+
+    txt = _opt_hlo(fn, (P(None, AXIS), P(AXIS)), P(None, AXIS), mesh,
+                   sharded.pos, sharded.mass)
+    # The ring must BE a ring: K-1 hops, no all-gather materialization.
+    defs = re.findall(
+        r"%(\S+) = \S+ collective-permute(?:-start)?\(%(\S+)\)", txt)
+    assert len(defs) == k - 1, txt.count("collective-permute")
+    assert "all-gather" not in txt
+    names = {name for name, _ in defs}
+    operands = [op for _, op in defs]
+    # Chain property: every permute after the first consumes a permute.
+    chained = sum(op in names for op in operands)
+    assert chained == k - 2, (operands, names)
+    # The chain head consumes the packed loop-carried buffer, not the
+    # force math: its producer line must be free of kernel arithmetic.
+    head_op = next(op for op in operands if op not in names)
+    head_def = next(line for line in txt.splitlines()
+                    if line.strip().startswith(f"%{head_op} ="))
+    assert not re.search(r"rsqrt|sqrt|divide|dot\(", head_def), head_def
+
+
+def test_psum_mesh_reduces_grid_once():
+    """The distributed mesh solve's collective budget (round-3 VERDICT
+    item 6): ONE all-reduce carries the (ng,ng,ng) mass grid (XLA may
+    combine it with the small box/octant psums into a tuple all-reduce —
+    still one collective), and the only all-gather is the O(1) robust-
+    box quantile subsample.  A regression to the replicated round-2
+    scheme (all-gather positions, K x deposit) adds position-sized
+    gathers and fails here."""
+    import re
+
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.ops import pm
+    from nbody_tpu.parallel.mesh import AXIS
+
+    ng = 32
+    state = make_state(16384, pad_multiple=2048)
+    sharded, mesh = shard_state(state, 8)
+
+    def fn(pos_l, mass_l):
+        return pm.sharded_accelerations(pos_l, mass_l, AXIS, grid=ng)
+
+    txt = _opt_hlo(fn, (P(None, AXIS), P(AXIS)), P(None, AXIS), mesh,
+                   sharded.pos, sharded.mass)
+    grid_shape = f"f32[{ng},{ng},{ng}]"
+    # `.*`, not `[^=]*`: a combined tuple all-reduce's shape list holds
+    # /*index=N*/ comments whose '=' would break the match.
+    ar_defs = [line for line in txt.splitlines()
+               if re.search(r"= .*\ball-reduce(?:-start)?\(", line)]
+    grid_reduces = [line for line in ar_defs if grid_shape in line]
+    assert len(grid_reduces) == 1, ar_defs
+    # No collective moves particle-sized data: the one all-gather is the
+    # bounded box-statistics subsample (<= 3 x 64k floats).
+    assert txt.count("all-gather") <= 1
