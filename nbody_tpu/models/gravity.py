@@ -43,12 +43,15 @@ def euler_step(state: ParticleState, accel_fn: AccelFn, dt: float) -> ParticleSt
 
 
 def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
-                  integrator: str = "euler"):
+                  integrator: str = "euler", env_fn=None):
     """Build a jitted function advancing ``block_steps`` steps on device and
-    returning (new_state, kinetic_energy_after_last_step)."""
+    returning (new_state, kinetic_energy_after_last_step).  ``env_fn``
+    computes a per-block environment fed to accel_fn as ``mesh_env=``
+    (see integrators.make_block_fn)."""
     from .integrators import make_block_fn as _mk
 
-    return _mk(accel_fn, dt, block_steps, integrator=integrator)
+    return _mk(accel_fn, dt, block_steps, integrator=integrator,
+               env_fn=env_fn)
 
 
 def make_fused_block_fn(dt: float, block_steps: int, tile_i: int = 0,
@@ -134,7 +137,8 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
                                dist_dtype: str = "float32",
                                sym: bool = False,
                                interpret: bool = False,
-                               per_step: bool = False):
+                               per_step: bool = False,
+                               env_fn=None):
     """Watchdog-safe sample block for huge work (needs_host_chunking):
     the block is orchestrated from the host as many short executables
     with NO host syncs between them — the device stays busy back-to-back
@@ -170,33 +174,46 @@ def make_host_chunked_block_fn(dt: float, block_steps: int, n_padded: int,
         # Per-step executables.  ``per_step=True`` forces this regime for
         # kernels whose cost is not pair-count-shaped (the pm mesh solver:
         # cheap steps, but a long block is still ONE executable and the
-        # watchdog meters executables).
+        # watchdog meters executables).  ``env_fn`` builds the per-BLOCK
+        # mesh environment in its own small executable; the env arrays
+        # then ride into every per-step executable as ordinary device
+        # arguments (never fetched — complex64 cannot cross the tunnel).
+        if env_fn is None:
+            def call(p, m, _env):
+                return accel_fn(p, m)
+        else:
+            env_build = jax.jit(env_fn)
+
+            def call(p, m, env):
+                return accel_fn(p, m, mesh_env=env)
+
         @jax.jit
-        def euler_one(pos, vel, mass):
-            acc = accel_fn(pos, mass)
+        def euler_one(pos, vel, mass, env):
+            acc = call(pos, mass, env)
             v = vel + acc * dtf
             return pos + v * dtf, v
 
         @jax.jit
-        def lf_one(pos, vel, acc, mass):
+        def lf_one(pos, vel, acc, mass, env):
             v_h = vel + acc * half
             p = pos + v_h * dtf
-            acc_n = accel_fn(p, mass)
+            acc_n = call(p, mass, env)
             return p, v_h + acc_n * half, acc_n
 
         # jitted — an eager accel_fn call dispatches per-op over tunneled
         # backends (minutes for a mesh solve)
-        accel_seed = jax.jit(lambda p, m: accel_fn(p, m))
+        accel_seed = jax.jit(lambda p, m, env: call(p, m, env))
 
         def block(state: ParticleState):
             pos, vel, mass = state.pos, state.vel, state.mass
+            env = env_build(pos, mass) if env_fn is not None else None
             if integrator == "euler":
                 for _ in range(block_steps):
-                    pos, vel = euler_one(pos, vel, mass)
+                    pos, vel = euler_one(pos, vel, mass, env)
             else:
-                acc = accel_seed(pos, mass)
+                acc = accel_seed(pos, mass, env)
                 for _ in range(block_steps):
-                    pos, vel, acc = lf_one(pos, vel, acc, mass)
+                    pos, vel, acc = lf_one(pos, vel, acc, mass, env)
             new = ParticleState(pos=pos, vel=vel, mass=mass, n=state.n)
             return new, kinetic_energy(new)
 

@@ -21,17 +21,33 @@ INTEGRATORS = ("euler", "leapfrog")
 
 
 def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
-                  integrator: str = "euler"):
+                  integrator: str = "euler", env_fn=None):
     """Jitted sample block: advances block_steps steps on device, returns
-    (state, kinetic_energy)."""
+    (state, kinetic_energy).
+
+    ``env_fn(pos, mass) -> pytree`` computes a per-BLOCK environment
+    once at block entry (inside the jit, before the step loop) that is
+    then passed to every step as ``accel_fn(pos, mass, env)`` — the
+    mesh solvers use it to freeze the robust box + force-kernel
+    spectra across a sample block (ops/pm.make_mesh_env), turning
+    per-step transforms into per-block ones."""
     dtf = jnp.float32(dt)
+
+    if env_fn is None:
+        def call(pos, mass, _env):
+            return accel_fn(pos, mass)
+    else:
+        def call(pos, mass, env):
+            return accel_fn(pos, mass, mesh_env=env)
 
     if integrator == "euler":
 
         @jax.jit
         def block(state: ParticleState):
+            env = env_fn(state.pos, state.mass) if env_fn else None
+
             def body(_, st: ParticleState) -> ParticleState:
-                acc = accel_fn(st.pos, st.mass)
+                acc = call(st.pos, st.mass, env)
                 vel = st.vel + acc * dtf
                 pos = st.pos + vel * dtf
                 return ParticleState(pos=pos, vel=vel, mass=st.mass, n=st.n)
@@ -46,15 +62,16 @@ def make_block_fn(accel_fn: AccelFn, dt: float, block_steps: int,
 
         @jax.jit
         def block(state: ParticleState):
+            env = env_fn(state.pos, state.mass) if env_fn else None
             # One extra force evaluation per block re-seeds the carried
             # acceleration (state holds no acc between blocks).
-            acc0 = accel_fn(state.pos, state.mass)
+            acc0 = call(state.pos, state.mass, env)
 
             def body(_, carry):
                 st, acc = carry
                 vel_h = st.vel + acc * half          # kick
                 pos = st.pos + vel_h * dtf           # drift
-                acc_n = accel_fn(pos, st.mass)
+                acc_n = call(pos, st.mass, env)
                 vel = vel_h + acc_n * half           # kick
                 return (
                     ParticleState(pos=pos, vel=vel, mass=st.mass, n=st.n),

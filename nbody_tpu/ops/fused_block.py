@@ -36,10 +36,30 @@ from ..utils import device_caps
 
 
 def max_fused_n() -> int:
-    """Particle ceiling for the VMEM-resident fused block: the
-    lane-padded (N,8) state buffers cost N*512 bytes each, which caps
-    N at 8192 on a 128 MB v5e (device-scaled in utils/device_caps.py)."""
+    """Particle ceiling for the COLUMNS-layout fused block (explicit
+    rectangular tilings only): the lane-padded (N,8) state buffers cost
+    N*512 bytes each, capping N at 8192 on a 128 MB v5e (device-scaled
+    in utils/device_caps.py)."""
     return device_caps.caps().max_fused_n
+
+
+def max_fused_rows_n() -> int:
+    """Particle ceiling for the ROWS-layout (pair-symmetric) fused block
+    — the default path: five (8,N) fp32 resident buffers cost 160*N
+    bytes with NO lane padding, lifting the cap 8192 -> 314368 on a
+    128 MB v5e (utils/device_caps.py)."""
+    return device_caps.caps().max_fused_rows_n
+
+
+def _is_sym(tile_i: int, tile_j: int) -> bool:
+    """Whether fused_block's auto dispatch takes the rows-sym path for
+    this tiling request (mirrors the ``sym is None`` rule below)."""
+    return not tile_j or tile_i == tile_j
+
+
+def fused_cap(tile_i: int = 0, tile_j: int = 0) -> int:
+    """The particle ceiling that applies to this tiling request."""
+    return max_fused_rows_n() if _is_sym(tile_i, tile_j) else max_fused_n()
 
 
 # Tile defaults adapt to N: the lane-padded (N,8) state buffers cost
@@ -326,9 +346,10 @@ def fused_block(
             ti = tj = min(b, n)
         if n % ti:
             raise ValueError(f"N={n} must be divisible by block {ti}")
-        if n > max_fused_n():
+        if n > max_fused_rows_n():
             raise ValueError(
-                f"fused block supports N <= {max_fused_n()}, got {n}"
+                f"fused rows block supports N <= {max_fused_rows_n()}, "
+                f"got {n}"
             )
         return _fused_block_rows(pos, vel, mass, dt, steps, ti, integrator,
                                  interpret)

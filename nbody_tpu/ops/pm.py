@@ -750,9 +750,12 @@ SR_CHUNK = 1024
 
 # Pair-symmetric short-range sweep: each unordered slab pair once
 # (s >= t), reaction added per entry.  ~47% of the entries for ~25%
-# extra per-entry work.  Off until the Pallas path has a hardware
-# measurement; flip after scripts/exp_sr_pallas.py --symmetric wins.
-SR_SYMMETRIC = False
+# extra per-entry work.  Default ON from the round-3 hardware A/B
+# (logs/hw_contact/sr_pallas.log): combined with paired rows
+# (pl-pair-sym) it is the fastest layout at every measured config —
+# 11.6/60.5/196 ms vs the plain Pallas sweep's 36/195/636 at Plummer
+# 65k/262k/1M.
+SR_SYMMETRIC = True
 
 # Paired-row tables in the Pallas sweep: two SLAB=64 slabs share one
 # 128-lane VMEM row, so the (64, 64) pair blocks the plain layout
@@ -762,9 +765,11 @@ SR_SYMMETRIC = False
 # row granularity (~half the entries).  Costs a branchless parity
 # blend per target change.  Composes with SR_SYMMETRIC (per-lane slab masks
 # replace the per-slab diagonal/clip logic — ~27% of the plain
-# entries at full lane fill).  Off until the hardware A/B
-# (scripts/exp_sr_pallas.py pl-paired / pl-pair-sym rows).
-SR_PAIRED_ROWS = False
+# entries at full lane fill).  Default ON from the round-3 hardware
+# A/B (see SR_SYMMETRIC above); the differentiable path still drops to
+# slab-granular tables (paired is masked off there in
+# accelerations_between), and non-TPU backends use the XLA sweep.
+SR_PAIRED_ROWS = True
 
 # Named short-range sweep layouts: one handle over the three layout
 # globals above, so callers (the CLI --pm-sr-layout override and the
@@ -1169,9 +1174,25 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     n_e = cum[-1]
     base = (cum - flat)
     e_idx = jnp.arange(e_max, dtype=i32)
-    j = jnp.searchsorted(cum, e_idx, side="right").astype(i32)
+    # Expand bucket counts to a per-entry bucket id.  This used to be
+    # searchsorted(cum, e_idx, side="right") — log2(S*R) binary-search
+    # passes, each an e_max-wide gather — which the round-4 in-context
+    # ablation measured at ~300 ms/step at Plummer N=262144 (e_max=2M),
+    # DOMINATING the whole p3m step (logs/hw_contact/p3m_ablate2.log;
+    # every earlier profile had dead-code-eliminated it).  Both arrays
+    # are sorted, so the expansion is one scatter of each nonempty
+    # bucket's id at its segment start followed by a running max: two
+    # nonempty buckets can never share a start (base is strictly
+    # increasing on nonempty buckets), empty buckets are dropped, and
+    # entries before the first segment start need id 0 = the cummax
+    # seed.  Positions >= n_e may disagree with searchsorted's
+    # out-of-range answer, but they are masked to the sentinel below
+    # either way.
+    start_pos = jnp.where((flat > 0) & (base < e_max), base, e_max)
+    marks = jnp.zeros((e_max,), i32).at[start_pos].max(
+        jnp.arange(flat.shape[0], dtype=i32), mode="drop")
+    j_c = jnp.minimum(jax.lax.cummax(marks), flat.shape[0] - 1)
     ok = e_idx < n_e
-    j_c = jnp.minimum(j, flat.shape[0] - 1)
     wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
     wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
                      sent_s).astype(i32)
@@ -1236,17 +1257,20 @@ def _outlier_moments(pos, mass, m_in, lo_box, hi_box, reduce):
     return M_in, com_in, octs
 
 
-def _pm_force_grids(rho_hat, h, ng: int):
+def _pm_force_grids(rho_hat, h, ng: int, spectra=None):
     """Plain-PM acceleration grids: a(c) = -(rho * f)(c) per component
     (antisymmetric kernel), via the full-complex transforms (this
-    backend's irfftn is broken — see _force_kernel_spectra)."""
-    kx, ky, kz = _force_kernel_spectra(h, ng)
+    backend's irfftn is broken — see _force_kernel_spectra).
+    ``spectra`` short-circuits the per-step kernel sampling + 3 forward
+    fftns with block-frozen values (make_mesh_env)."""
+    kx, ky, kz = spectra or _force_kernel_spectra(h, ng)
     return jnp.stack([
         -jnp.fft.ifftn(rho_hat * k).real[:ng, :ng, :ng]
         for k in (kx, ky, kz)])
 
 
-def _p3m_force_grids(rho_hat, rho_over_hat_fn, h, ng: int, rc2, has_over):
+def _p3m_force_grids(rho_hat, rho_over_hat_fn, h, ng: int, rc2, has_over,
+                     spectra=None):
     """(acc_grids, comp_grids) for the P3M split, under the overflow
     lax.cond: everyone gets the tapered long-range kernel of the full
     in-box mass, overflowed sources additionally deposit through the
@@ -1259,8 +1283,11 @@ def _p3m_force_grids(rho_hat, rho_over_hat_fn, h, ng: int, rc2, has_over):
     cond (the single-device caller defers its deposit+fft there); a
     caller with collectives must run them OUTSIDE the cond and close
     over the result (sharded_accelerations psums the overflow deposit
-    unconditionally)."""
-    (kx, ky, kz), (sx, sy, sz) = _p3m_spectra(h, ng, rc2)
+    unconditionally).  ``spectra`` short-circuits the per-step kernel
+    sampling + 6 forward fftns with block-frozen values
+    (make_mesh_env; measured 33.6 ms/step of the Plummer-262k p3m
+    step, logs/hw_contact/p3m_ablate.log)."""
+    (kx, ky, kz), (sx, sy, sz) = spectra or _p3m_spectra(h, ng, rc2)
 
     def grids(specs):
         return jnp.stack([
@@ -1878,6 +1905,7 @@ def accelerations_between(
     differentiable: bool = False,
     boundary: str = "open",
     box_size: float = 0.0,
+    mesh_env: dict | None = None,
     **_opts,
 ) -> jax.Array:
     """Mesh-solved accelerations of targets due to sources.
@@ -1916,6 +1944,12 @@ def accelerations_between(
     as targets via a complement-of-binned gather, keeping the split
     momentum-symmetric under overflow.
 
+    ``mesh_env`` (make_mesh_env) freezes the robust box and the force-
+    kernel spectra to sample-block-entry values: the box drifts slowly
+    (it is already 3x-expanded and re-frozen every block), while the
+    per-step kernel sampling + forward transforms it replaces are
+    ~34 ms/step of the Plummer-262k p3m step (p3m_ablate.log).
+
     Extra registry options (tiles, interpret, dist_dtype) are accepted
     and ignored — the solver is fp32 and has no Pallas tiling."""
     ng = int(grid)
@@ -1944,7 +1978,24 @@ def accelerations_between(
             pos_tgt, pos_src, mass_src, same_set, ng, float(box_size),
             int(cutoff_cells), capacity, sr_slabs, sr_entries,
             int(sr_ghosts), differentiable)
-    lo_box, hi_box = _robust_box(pos_src, mass_src)
+    spectra = None
+    if mesh_env:
+        # Validate STRUCTURALLY (tuple nesting + array shapes survive
+        # jit boundaries; Python tags would arrive as tracers when the
+        # env is built in its own executable, as the host-chunked
+        # per-step path does): a p3m env is ((kx,ky,kz),(sx,sy,sz)), a
+        # plain-pm env (kx,ky,kz), and every spectrum is (2ng)^3.
+        spectra = mesh_env["spectra"]
+        env_is_p3m = isinstance(spectra[0], tuple)
+        env_m = (spectra[0][0] if env_is_p3m else spectra[0]).shape[0]
+        if env_is_p3m != bool(cutoff_cells) or env_m != 2 * ng:
+            raise ValueError(
+                "mesh_env was built for a different solver config "
+                f"(env grid={env_m // 2}, p3m={env_is_p3m}; call has "
+                f"grid={ng}, p3m={bool(cutoff_cells)})")
+        lo_box, hi_box = mesh_env["lo_box"], mesh_env["hi_box"]
+    else:
+        lo_box, hi_box = _robust_box(pos_src, mass_src)
     span = hi_box - lo_box
     in_src = _inside(pos_src, lo_box, hi_box)  # (Ns,) f32
     in_tgt = _inside(pos_tgt, lo_box, hi_box)  # (Nt,) f32
@@ -2004,9 +2055,9 @@ def accelerations_between(
             rho_hat,
             lambda: jnp.fft.fftn(
                 _deposit(pos_src, m_over, lo, inv_h, ng), s=(m, m, m)),
-            h, ng, rc2, has_over)
+            h, ng, rc2, has_over, spectra=spectra)
     else:
-        acc_grids = _pm_force_grids(rho_hat, h, ng)
+        acc_grids = _pm_force_grids(rho_hat, h, ng, spectra=spectra)
     acc = _gather(acc_grids, pos_tgt, lo, inv_h, ng)
     if cutoff_cells:
         sym = SR_SYMMETRIC
@@ -2276,12 +2327,45 @@ def sharded_accelerations(
     return (acc * f32(G_NEWTON)).astype(f32)
 
 
+def make_mesh_env(pos, mass, grid: int = DEFAULT_GRID,
+                  cutoff_cells: int = 0, boundary: str = "open",
+                  box_size: float = 0.0, **_opts) -> dict:
+    """TRACED per-sample-block mesh environment: the robust source box
+    and the (2ng)^3 force-kernel spectra, computed ONCE at block entry
+    and fed to every step via ``mesh_env=``.
+
+    The spectra depend only on the box (through h and rc2), and the box
+    drifts slowly — the reference's analog is the per-run softening/
+    timestep constants (ver0/GSimulation.cpp:114-116); here the freeze
+    removes ~34 ms/step of kernel sampling + forward transforms from
+    the open-boundary p3m step (p3m_ablate.log) at the cost of serving
+    intra-block box-leavers by monopole one block early.  Periodic
+    solves need no env (fixed box, closed-form ng^3 spectrum): {} is
+    returned and ignored downstream.  Plans (suggest_sr_plan) and env
+    are refreshed together by the engine's block builder."""
+    ng = int(grid)
+    if _check_boundary(boundary, box_size):
+        return {}
+    f32 = jnp.float32
+    lo_box, hi_box = _robust_box(pos.astype(f32), mass.astype(f32))
+    span = hi_box - lo_box
+    h = (span / f32(ng - 3))[:, 0]
+    env = {"lo_box": lo_box, "hi_box": hi_box}
+    if cutoff_cells:
+        nc, sub = _cell_grid_params(ng, int(cutoff_cells))
+        env["spectra"] = _p3m_spectra(h, ng, _sr_rc2(span, nc, sub))
+    else:
+        env["spectra"] = _force_kernel_spectra(h, ng)
+    return env
+
+
 def accelerations(
     pos: jax.Array, mass: jax.Array, grid: int = DEFAULT_GRID,
     cutoff_cells: int = 0, capacity: int = 0, sr_slabs: int = 0,
     sr_entries: int = 0, sr_ghosts: int = 0,
     differentiable: bool = False,
-    boundary: str = "open", box_size: float = 0.0, **_opts
+    boundary: str = "open", box_size: float = 0.0,
+    mesh_env: dict | None = None, **_opts
 ) -> jax.Array:
     """All-source mesh accelerations. pos (3,N), mass (N,) -> (3,N).
 
@@ -2301,7 +2385,8 @@ def accelerations(
                                  sr_entries=sr_entries,
                                  sr_ghosts=sr_ghosts,
                                  differentiable=differentiable,
-                                 boundary=boundary, box_size=box_size)
+                                 boundary=boundary, box_size=box_size,
+                                 mesh_env=mesh_env)
 
 
 def p3m_accelerations(
@@ -2309,7 +2394,8 @@ def p3m_accelerations(
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
     sr_slabs: int = 0, sr_entries: int = 0, sr_ghosts: int = 0,
     differentiable: bool = False,
-    boundary: str = "open", box_size: float = 0.0, **_opts
+    boundary: str = "open", box_size: float = 0.0,
+    mesh_env: dict | None = None, **_opts
 ) -> jax.Array:
     """The ``p3m`` registry entry: the mesh solver with the short-range
     correction ON by default (accurate on clustered distributions)."""
@@ -2319,7 +2405,7 @@ def p3m_accelerations(
         capacity=capacity, sr_slabs=sr_slabs, sr_entries=sr_entries,
         sr_ghosts=sr_ghosts,
         differentiable=differentiable, boundary=boundary,
-        box_size=box_size,
+        box_size=box_size, mesh_env=mesh_env,
     )
 
 

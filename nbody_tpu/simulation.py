@@ -298,12 +298,27 @@ class _DeviceRunner(_BlockRunner):
             )
         elif cfg.fused:
             from .models.gravity import make_fused_block_fn
-            from .ops.fused_block import max_fused_n
+            from .ops.fused_block import fused_cap
 
-            if cfg.precision != "f32" or state.n_padded > max_fused_n():
+            cap = fused_cap(cfg.tile_i, cfg.tile_j)
+            if cfg.precision != "f32" or state.n_padded > cap:
                 raise ValueError(
                     "--fused requires f32 precision, a single device and "
-                    f"padded N <= {max_fused_n()}"
+                    f"padded N <= {cap} for this tiling"
+                )
+            from .models.gravity import max_pairs_per_exec
+
+            n2 = state.n_padded * state.n_padded
+            if n2 * max(cfg.sfreq, 1) > max_pairs_per_exec():
+                # The fused block IS one executable; the runtime watchdog
+                # meters executables (~1 min).  With the rows cap at
+                # ~314k this is now reachable — fail with guidance
+                # instead of crashing the TPU worker mid-run.
+                raise ValueError(
+                    "--fused sample block exceeds the per-executable "
+                    f"pair budget ({max_pairs_per_exec():.2e} pairs); "
+                    "reduce the sample frequency steps or drop --fused "
+                    "(the unfused path host-chunks automatically)"
                 )
             self._block_for = lambda steps: self._cached(
                 steps,
@@ -327,15 +342,17 @@ class _DeviceRunner(_BlockRunner):
                     # executables (~1 min).  Above the block estimate
                     # (open-loop model corrected by the measured first
                     # step), run one executable per step.
+                    env_fn = self._mesh_env_fn(resolved)
                     if steps * self._pm_step_est() > self.PM_EXEC_BUDGET_S:
                         return make_host_chunked_block_fn(
                             cfg.dt, steps, state.n_padded,
                             accel_fn=self.accel_fn,
                             integrator=cfg.integrator, per_step=True,
+                            env_fn=env_fn,
                         )
                     return make_block_fn(
                         self.accel_fn, cfg.dt, steps,
-                        integrator=cfg.integrator,
+                        integrator=cfg.integrator, env_fn=env_fn,
                     )
                 if needs_host_chunking(state.n_padded, steps):
                     # Huge N: the single-executable block would trip the
@@ -378,6 +395,25 @@ class _DeviceRunner(_BlockRunner):
             except Exception as e:  # noqa: BLE001 — see _candidate_failed
                 self._candidate_failed(e)  # re-raises unless retuning
 
+    def _mesh_env_fn(self, resolved):
+        """Per-block frozen mesh environment builder (pm.make_mesh_env):
+        robust box + force-kernel spectra computed once per sample block
+        instead of every step (~34 ms/step of the Plummer-262k p3m step
+        — logs/hw_contact/p3m_ablate.log).  None for non-mesh kernels."""
+        if resolved not in ("pm", "p3m"):
+            return None
+        from .ops import pm as pm_ops
+
+        ko = self.cfg.kernel_opts()
+        cutoff = ko.get("cutoff_cells", 0)
+        if resolved == "p3m":
+            cutoff = cutoff or pm_ops.DEFAULT_CUTOFF_CELLS
+        kw = dict(grid=ko.get("grid", pm_ops.DEFAULT_GRID),
+                  cutoff_cells=cutoff,
+                  boundary=ko.get("boundary", "open"),
+                  box_size=ko.get("box_size", 0.0))
+        return lambda pos, mass: pm_ops.make_mesh_env(pos, mass, **kw)
+
     def _measure_pm_step(self, state, sharded_sub_block=None) -> float:
         """Watchdog feedback: run ONE compiled mesh-solver step and time
         it, so _pm_step_est is corrected by reality instead of trusting
@@ -393,9 +429,12 @@ class _DeviceRunner(_BlockRunner):
         if sharded_sub_block is not None:
             blk = sharded_sub_block(1)
         else:
+            from .ops.registry import resolve
+
             blk = make_host_chunked_block_fn(
                 self.cfg.dt, 1, state.n_padded, accel_fn=self.accel_fn,
                 per_step=True,
+                env_fn=self._mesh_env_fn(resolve(self.cfg.kernel)),
             )
         _, ke = blk(state)
         float(ke)  # compile + first run (discarded)

@@ -138,10 +138,10 @@ def _time_backward(pos, mass, ti, tj, loops, dist_dtype, interpret):
 def _time_fused(pos, mass, ti, tj, loops, dist_dtype, interpret):
     import jax
 
-    from ..ops.fused_block import fused_block, max_fused_n
+    from ..ops.fused_block import fused_block, fused_cap
 
     n = pos.shape[1]
-    if n > max_fused_n():
+    if n > fused_cap(ti, tj):
         return None
     vel = np.zeros_like(pos)
 

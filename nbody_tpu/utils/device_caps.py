@@ -78,8 +78,20 @@ class DeviceCaps:
 
     @property
     def max_fused_n(self) -> int:
-        """Particle ceiling for the VMEM-resident fused sample block."""
+        """Particle ceiling for the COLUMNS-layout fused sample block
+        (explicit rectangular tilings): its (N,8) state buffers are
+        lane-padded 8->128, costing N*512 bytes each."""
         return (self.vmem_bytes // 16384) // 512 * 512
+
+    @property
+    def max_fused_rows_n(self) -> int:
+        """Particle ceiling for the ROWS-layout (pair-symmetric) fused
+        sample block — the default path.  Residency is five (8,N) fp32
+        buffers (pos in/out, vel in/out, acc scratch) = 160*N bytes, no
+        lane padding; capped at 3/8 of VMEM so the b=1024 (B,B) pair
+        intermediates (~28 MB) and compiler slack fit beside it.
+        v5e: 314368 (vs 8192 for the lane-padded columns layout)."""
+        return ((3 * self.vmem_bytes) // 8 // 160) // 1024 * 1024
 
     @property
     def max_pairs_per_exec(self) -> int:

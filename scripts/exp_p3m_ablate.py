@@ -102,8 +102,14 @@ def _stubs():
 
     i32, f32, c64 = jnp.int32, jnp.float32, jnp.complex64
 
-    def z_sweep(ptab, mtab, *a, **k):
-        return jnp.zeros_like(ptab)
+    def z_sweep(ptab, mtab, wl_t, wl_s, *a, **k):
+        # Consume every input (cheap elementwise probe): a plain
+        # zeros_like would let XLA dead-code-eliminate the whole pack +
+        # ranges pipeline upstream, silently folding their cost into
+        # this rung's delta.
+        probe = (jnp.sum(mtab) + jnp.sum(wl_t.astype(f32))
+                 + jnp.sum(wl_s.astype(f32))) * f32(1e-38)
+        return ptab * f32(1e-38) + probe
 
     def z_ranges(slab_lo, slab_hi, nc, sub, e_max, symmetric=False,
                  paired=False):

@@ -55,15 +55,20 @@ def crossover(args):
                                seed=42 if dist == "reference" else 7)
             plan = pm.suggest_sr_plan(state.pos, state.mass)
             cap = plan["capacity"]
+            # env_fn mirrors the engine's wiring (simulation._mesh_env_fn):
+            # the mesh tiers freeze box+spectra per sample block.
             tiers = {
-                "exact": make_accel_fn("auto"),
-                "pm": make_accel_fn("pm"),
-                "p3m": make_accel_fn("p3m", **plan),
+                "exact": (make_accel_fn("auto"), None),
+                "pm": (make_accel_fn("pm"),
+                       lambda p, m: pm.make_mesh_env(p, m)),
+                "p3m": (make_accel_fn("p3m", **plan),
+                        lambda p, m: pm.make_mesh_env(
+                            p, m, cutoff_cells=pm.DEFAULT_CUTOFF_CELLS)),
             }
             t_exact = None
-            for name, fn in tiers.items():
+            for name, (fn, env_fn) in tiers.items():
                 # adaptive step count ~0.5 s of work per timed run
-                b = make_block_fn(fn, 0.1, 1)
+                b = make_block_fn(fn, 0.1, 1, env_fn=env_fn)
                 out, ke = b(state)
                 float(ke)
                 t0 = time.perf_counter()
@@ -71,7 +76,8 @@ def crossover(args):
                 float(ke)
                 t1 = max(time.perf_counter() - t0, 1e-4)
                 steps = max(2, min(500, int(0.5 / t1)))
-                t = _per_step(lambda k: make_block_fn(fn, 0.1, k),
+                t = _per_step(lambda k: make_block_fn(fn, 0.1, k,
+                                                      env_fn=env_fn),
                               state, steps)
                 if name == "exact":
                     t_exact, err = t, 0.0
@@ -116,12 +122,16 @@ def collapse(args):
     print(f"\ncollapse: N={n}, leapfrog dt=0.001, {steps} steps, "
           f"E0={e0:.6e}, p3m plan={plan}")
     sub = 100  # sub-blocks keep each executable under the ~1 min watchdog
-    for name, fn in (
-        ("exact", make_accel_fn("auto")),
-        ("pm", make_accel_fn("pm")),
-        ("p3m", make_accel_fn("p3m", **plan)),
+    for name, fn, env_fn in (
+        ("exact", make_accel_fn("auto"), None),
+        ("pm", make_accel_fn("pm"),
+         lambda p, m: pm.make_mesh_env(p, m)),
+        ("p3m", make_accel_fn("p3m", **plan),
+         lambda p, m: pm.make_mesh_env(
+             p, m, cutoff_cells=pm.DEFAULT_CUTOFF_CELLS)),
     ):
-        blk = make_block_fn(fn, 0.001, sub, integrator="leapfrog")
+        blk = make_block_fn(fn, 0.001, sub, integrator="leapfrog",
+                            env_fn=env_fn)
         out, ke = blk(state0)  # warm-up (state0 immutable)
         float(ke)
         t0 = time.perf_counter()

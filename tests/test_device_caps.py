@@ -71,3 +71,11 @@ def test_consumers_wired_to_caps():
     assert max_fused_n() == c.max_fused_n
     assert max_pairs_per_exec() == c.max_pairs_per_exec
     assert auto_block(65536) == c.sym_auto_block(65536)
+
+def test_fused_rows_cap_values():
+    """The rows-layout fused block has no lane padding (160*N bytes of
+    (8,N) residency), lifting the cap ~38x over the columns layout."""
+    c = caps_for_kind("TPU v5 lite")
+    assert c.max_fused_rows_n == 314368  # 3/8 * 128 MB / 160, 1k-aligned
+    assert c.max_fused_rows_n % 1024 == 0
+    assert caps_for_kind("TPU v3").max_fused_rows_n == 38912

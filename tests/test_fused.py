@@ -69,9 +69,18 @@ def test_fused_tile_j_only_is_honored():
 
 
 def test_fused_size_guard():
+    from nbody_tpu.ops.fused_block import max_fused_rows_n
+
+    # Columns layout (explicit rectangular tiling): lane-padded cap.
     state = make_state(max_fused_n() + 512)
-    with pytest.raises(ValueError):
-        fused_block(state.pos, state.vel, state.mass, 0.1, 1, interpret=True)
+    with pytest.raises(ValueError, match="fused block supports"):
+        fused_block(state.pos, state.vel, state.mass, 0.1, 1,
+                    tile_i=128, tile_j=256, interpret=True)
+    # Rows layout (default): the ~38x higher rows-residency cap.
+    big = make_state(max_fused_rows_n() + 1024)
+    with pytest.raises(ValueError, match="fused rows block supports"):
+        fused_block(big.pos, big.vel, big.mass, 0.1, 1, interpret=True)
+    assert max_fused_rows_n() > 30 * max_fused_n()
 
 
 def test_engine_rejects_ineligible_fused():

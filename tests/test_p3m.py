@@ -505,18 +505,18 @@ def test_sr_symmetric_knob_end_to_end():
 
     pos, _, mass = plummer(2048, seed=17)
     kw = dict(grid=64, cutoff_cells=4)
-    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
-    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
-    assert pm.SR_SYMMETRIC is False
-    pm.SR_SYMMETRIC = True
+    prev = pm.set_sr_layout(("auto", False, False))
     try:
+        plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+        a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+        pm.SR_SYMMETRIC = True
         # Plans are always sized for the FULL worklist (knob-flip
         # safety: a clipped-size plan would starve a later full trace).
         plan_s = pm.suggest_sr_plan(pos, mass, 64, 4)
         assert plan_s["sr_entries"] == plan["sr_entries"]
         a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan_s))
     finally:
-        pm.SR_SYMMETRIC = False
+        pm.set_sr_layout(prev)
     scale = np.abs(a_ref).max()
     np.testing.assert_allclose(a_sym, a_ref, rtol=0, atol=3e-5 * scale)
     flux = np.abs((mass[None, :] * a_sym).sum(axis=1))
@@ -614,19 +614,17 @@ def test_sr_paired_knob_end_to_end():
     symmetric worklist + per-lane masks) and must still agree."""
     pos, _, mass = plummer(2048, seed=20)
     kw = dict(grid=64, cutoff_cells=4)
-    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
-    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
-    assert pm.SR_PAIRED_ROWS is False
-    pm.SR_PAIRED_ROWS = True
-    pm.SR_SWEEP_IMPL = "pallas"
+    prev = pm.set_sr_layout(("auto", False, False))
     try:
+        plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+        a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+        pm.SR_PAIRED_ROWS = True
+        pm.SR_SWEEP_IMPL = "pallas"
         a_pr = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
         pm.SR_SYMMETRIC = True
         a_both = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
     finally:
-        pm.SR_PAIRED_ROWS = False
-        pm.SR_SYMMETRIC = False
-        pm.SR_SWEEP_IMPL = "auto"
+        pm.set_sr_layout(prev)
     scale = np.abs(a_ref).max()
     np.testing.assert_allclose(a_pr, a_ref, rtol=0, atol=2e-5 * scale)
     np.testing.assert_allclose(a_both, a_ref, rtol=0, atol=3e-5 * scale)
@@ -646,8 +644,7 @@ def test_sr_paired_sharded_matches_single():
 
     opts = dict(grid=32, capacity=64)
     state = make_state(512, pad_multiple=8, distribution="plummer")
-    pm.SR_SWEEP_IMPL = "pallas"
-    pm.SR_PAIRED_ROWS = True
+    prev = pm.set_sr_layout(("pallas", pm.SR_SYMMETRIC, True))
     try:
         ref_state, ref_ke = make_block_fn(
             make_accel_fn("p3m", **opts), 0.01, 2)(state)
@@ -656,8 +653,7 @@ def test_sr_paired_sharded_matches_single():
                                     comm="allgather")
         out, ke = blk(sharded)
     finally:
-        pm.SR_SWEEP_IMPL = "auto"
-        pm.SR_PAIRED_ROWS = False
+        pm.set_sr_layout(prev)
     np.testing.assert_allclose(np.asarray(out.pos),
                                np.asarray(ref_state.pos),
                                rtol=2e-5, atol=1e-8)
@@ -1213,24 +1209,21 @@ def test_p3m_periodic_sweep_variants_agree():
     kw = dict(grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0)
     plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
                               box_size=1.0)
-    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
-    scale = np.abs(a_ref).max()
-    assert pm.SR_SYMMETRIC is False and pm.SR_PAIRED_ROWS is False
+    prev = pm.set_sr_layout(("xla", False, False))
     try:
+        a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+        scale = np.abs(a_ref).max()
         pm.SR_SYMMETRIC = True
         a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
-    finally:
+        np.testing.assert_allclose(a_sym, a_ref, rtol=0,
+                                   atol=3e-5 * scale)
         pm.SR_SYMMETRIC = False
-    np.testing.assert_allclose(a_sym, a_ref, rtol=0, atol=3e-5 * scale)
-    orig_impl = pm.SR_SWEEP_IMPL
-    try:
         pm.SR_SWEEP_IMPL = "pallas"  # interpret on CPU
         a_pl = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
         pm.SR_PAIRED_ROWS = True
         a_pr = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
     finally:
-        pm.SR_SWEEP_IMPL = orig_impl
-        pm.SR_PAIRED_ROWS = False
+        pm.set_sr_layout(prev)
     np.testing.assert_allclose(a_pl, a_ref, rtol=0, atol=3e-5 * scale)
     np.testing.assert_allclose(a_pr, a_ref, rtol=0, atol=3e-5 * scale)
     del jax
@@ -1432,3 +1425,54 @@ def test_sr_health_replan_sharded():
     assert len(result.samples) == 2
     assert cfg.pm_capacity > 1
     assert all(np.isfinite(s[2]) for s in result.samples)
+
+def test_mesh_env_freeze_first_step_exact():
+    """A mesh_env built from the SAME positions must reproduce the
+    per-step solve bit-exactly (same box, same spectra arithmetic) —
+    the per-block freeze only diverges once particles drift, and then
+    by at most the robust box's 3x expansion slack."""
+    pos, _, mass = plummer(2048, seed=3)
+    kw = dict(grid=64, cutoff_cells=4)
+    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+    env = pm.make_mesh_env(pos, mass, grid=64, cutoff_cells=4)
+    a_env = np.asarray(pm.accelerations(pos, mass, **kw, **plan,
+                                        mesh_env=env))
+    a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
+    np.testing.assert_array_equal(a_env, a_ref)
+    # plain pm too (3-spectra env)
+    env_pm = pm.make_mesh_env(pos, mass, grid=64)
+    np.testing.assert_array_equal(
+        np.asarray(pm.accelerations(pos, mass, grid=64, mesh_env=env_pm)),
+        np.asarray(pm.accelerations(pos, mass, grid=64)))
+    # config-mismatch guard
+    with pytest.raises(ValueError, match="different solver config"):
+        pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                         mesh_env=env)
+    # periodic solves need no env
+    assert pm.make_mesh_env(pos, mass, grid=32, boundary="periodic",
+                            box_size=8.0) == {}
+
+
+def test_mesh_env_block_matches_per_step_solve():
+    """A 5-step block with the per-block frozen env stays within drift
+    tolerance of the exact per-step-box block (the engine's default
+    wiring for mesh kernels — simulation._mesh_env_fn)."""
+    from nbody_tpu.models.integrators import make_block_fn
+    from nbody_tpu.state import ParticleState
+
+    pos, vel, mass = plummer(1024, seed=9)
+    state = ParticleState(pos=pos, vel=vel * 0.01, mass=mass, n=1024)
+    kw = dict(grid=32, cutoff_cells=4, capacity=64)
+
+    def accel(p, m, mesh_env=None):
+        return pm.accelerations(p, m, mesh_env=mesh_env, **kw)
+
+    ref, ke_ref = make_block_fn(accel, 0.01, 5)(state)
+    out, ke = make_block_fn(
+        accel, 0.01, 5,
+        env_fn=lambda p, m: pm.make_mesh_env(p, m, grid=32,
+                                             cutoff_cells=4))(state)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=0, atol=1e-5 * scale)
+    assert float(ke) == pytest.approx(float(ke_ref), rel=1e-4)
