@@ -130,6 +130,28 @@ def _force_chunked(cfg, nsteps) -> bool:
     return needs_host_chunking(round_up(cfg.n, cfg.pad_multiple()), nsteps)
 
 
+def _env_fn(cfg):
+    """Per-block frozen mesh env for pm/p3m rows — the engine's wiring
+    (simulation._mesh_env_fn), mirrored so bench times the production
+    step."""
+    from nbody_tpu.ops.registry import resolve
+
+    resolved = resolve(cfg.kernel)
+    if resolved not in ("pm", "p3m"):
+        return None
+    from nbody_tpu.ops import pm as pm_ops
+
+    ko = cfg.kernel_opts()
+    cutoff = ko.get("cutoff_cells", 0)
+    if resolved == "p3m":
+        cutoff = cutoff or pm_ops.DEFAULT_CUTOFF_CELLS
+    kw = dict(grid=ko.get("grid", pm_ops.DEFAULT_GRID),
+              cutoff_cells=cutoff,
+              boundary=ko.get("boundary", "open"),
+              box_size=ko.get("box_size", 0.0))
+    return lambda pos, mass: pm_ops.make_mesh_env(pos, mass, **kw)
+
+
 def _timed_steps(cfg, nsteps, force_chunked=None):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
     from nbody_tpu.init import make_state
@@ -167,10 +189,12 @@ def _timed_steps(cfg, nsteps, force_chunked=None):
             dist_dtype="bfloat16" if cfg.precision == "bf16" else "float32",
             sym=cfg.kernel in ("auto", "pallas_sym")
             and cfg.precision in ("f32", "bf16"),
+            env_fn=_env_fn(cfg),
         )
     else:
         blk = make_block_fn(
-            make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps
+            make_accel_fn(cfg.kernel, **cfg.kernel_opts()), cfg.dt, nsteps,
+            env_fn=_env_fn(cfg),
         )
     out, ke = blk(state)
     float(ke)  # compile + execute once (sync via fetch)

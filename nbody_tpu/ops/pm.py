@@ -1043,13 +1043,21 @@ def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     starts = jnp.searchsorted(sc, cells, side="left").astype(i32)
     rank = jnp.arange(ns, dtype=i32) - starts[jnp.clip(sc, 0, n_cells - 1)]
     valid = (sc < n_cells) & (rank < cap)
-    # Pack: binned particles first in cid order, the rest to the tail
-    # (stable sort of the already-sorted keys preserves cid order).
-    key = jnp.where(valid, sc, n_cells)
-    pord = jnp.argsort(key, stable=True).astype(i32)
+    # Pack: binned particles first in cid order, the rest to the tail.
+    # This is a STABLE PARTITION of an already-sorted key (valid keys
+    # keep ascending cid order, invalid ones collapse to the n_cells
+    # sentinel), so the former stable argsort — a second full N-element
+    # sort — reduces to an exclusive count + scatter (same result,
+    # element-for-element: valid entries in order first, sentinel
+    # entries in original order after).
+    vi = valid.astype(i32)
+    nv = jnp.cumsum(vi) - vi  # valid entries strictly before i
+    n_bin = jnp.sum(vi)
+    ppos_all = jnp.arange(ns, dtype=i32)
+    dest = jnp.where(valid, nv, n_bin + (ppos_all - nv))
+    pord = jnp.zeros((ns,), i32).at[dest].set(ppos_all)
     perm = order[pord]  # original particle index per packed position
-    pc = key[pord]  # packed cids, sentinel tail
-    n_bin = jnp.sum(valid.astype(i32))
+    pc = jnp.where(valid, sc, n_cells)[pord]  # packed cids, sentinel tail
     nslots = (s_max + 1) * SLAB
     ppos = jnp.arange(ns, dtype=i32)
     ok = (ppos < n_bin) & (ppos < s_max * SLAB)
@@ -2111,10 +2119,18 @@ def sharded_accelerations(
     sr_ghosts: int = 0,
     boundary: str = "open",
     box_size: float = 0.0,
+    mesh_env: dict | None = None,
     **_opts,
 ) -> jax.Array:
     """Distributed mesh solve for a particle-sharded state — call INSIDE
     shard_map over mesh axis ``axis`` (parallel/decompose.py wires it).
+
+    ``mesh_env`` (make_mesh_env_sharded, built once per sample block
+    inside the same shard_map) freezes the psum'd robust box and the
+    replicated kernel spectra across the block — the sharded analog of
+    the single-device mesh_env, keeping the two paths' traces aligned
+    and dropping both the per-step box collectives and the per-step
+    kernel transforms.  Open boundary only (periodic needs no env).
 
     TPU-native decomposition of the deposit/solve/gather pipeline.  The
     round-2 sharded pm all-gathered positions and had EVERY shard
@@ -2236,7 +2252,12 @@ def sharded_accelerations(
         acc = acc + jnp.where(binned_l[None, :], a_sr, a_comp)
         return (acc * f32(G_NEWTON)).astype(f32)
 
-    lo_box, hi_box = _robust_box_sharded(pos_l, mass_l, axis)
+    if mesh_env:
+        spectra = mesh_env["spectra"]
+        lo_box, hi_box = mesh_env["lo_box"], mesh_env["hi_box"]
+    else:
+        spectra = None
+        lo_box, hi_box = _robust_box_sharded(pos_l, mass_l, axis)
     span = hi_box - lo_box
     in_l = _inside(pos_l, lo_box, hi_box)
     m_in_l = mass_l * in_l
@@ -2281,9 +2302,9 @@ def sharded_accelerations(
                                            m_in_all > 0))
         acc_grids, comp_grids = _p3m_force_grids(
             rho_hat, lambda: jnp.fft.fftn(rho_over, s=(m, m, m)),
-            h, ng, rc2, has_over)
+            h, ng, rc2, has_over, spectra=spectra)
     else:
-        acc_grids = _pm_force_grids(rho_hat, h, ng)
+        acc_grids = _pm_force_grids(rho_hat, h, ng, spectra=spectra)
     acc = _gather(acc_grids, pos_l, lo, inv_h, ng)
     if cutoff_cells:
         # Sweep ~1/K of the worklist's entries per shard, psum the
@@ -2325,6 +2346,30 @@ def sharded_accelerations(
     for M_k, com_k in octs:
         acc = acc + _monopole(pos_l, M_k, com_k)
     return (acc * f32(G_NEWTON)).astype(f32)
+
+
+def make_mesh_env_sharded(pos_l, mass_l, axis, grid: int = DEFAULT_GRID,
+                          cutoff_cells: int = 0, boundary: str = "open",
+                          box_size: float = 0.0, **_opts) -> dict:
+    """Sharded counterpart of make_mesh_env: the box comes from the
+    psum'd sharded statistics (_robust_box_sharded); the spectra are
+    computed replicated (identical on every shard — the box stats are
+    collective results).  Call INSIDE shard_map, once per block."""
+    ng = int(grid)
+    if _check_boundary(boundary, box_size):
+        return {}
+    f32 = jnp.float32
+    lo_box, hi_box = _robust_box_sharded(pos_l.astype(f32),
+                                         mass_l.astype(f32), axis)
+    span = hi_box - lo_box
+    h = (span / f32(ng - 3))[:, 0]
+    env = {"lo_box": lo_box, "hi_box": hi_box}
+    if cutoff_cells:
+        nc, sub = _cell_grid_params(ng, int(cutoff_cells))
+        env["spectra"] = _p3m_spectra(h, ng, _sr_rc2(span, nc, sub))
+    else:
+        env["spectra"] = _force_kernel_spectra(h, ng)
+    return env
 
 
 def make_mesh_env(pos, mass, grid: int = DEFAULT_GRID,

@@ -195,8 +195,20 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         if kernel_name == "p3m":
             popts.setdefault("cutoff_cells", pm_ops.DEFAULT_CUTOFF_CELLS)
 
-        def accel_local(p, m):
-            return pm_ops.sharded_accelerations(p, m, AXIS, **popts)
+        def make_env(p, m):
+            # Per-block frozen box + spectra (the sharded analog of the
+            # engine's single-device mesh_env — keeps both paths'
+            # traces aligned and drops per-step box collectives).
+            return pm_ops.make_mesh_env_sharded(
+                p, m, AXIS,
+                grid=popts.get("grid", pm_ops.DEFAULT_GRID),
+                cutoff_cells=popts.get("cutoff_cells", 0),
+                boundary=popts.get("boundary", "open"),
+                box_size=popts.get("box_size", 0.0))
+
+        def accel_local(p, m, env=None):
+            return pm_ops.sharded_accelerations(p, m, AXIS,
+                                                mesh_env=env, **popts)
 
     elif comm == "rdma":
         # The fused in-kernel RDMA ring (ring_kernel.py).
@@ -209,7 +221,9 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
             if key in ("tile_i", "tile_j", "interpret")
         }
 
-        def accel_local(p, m):
+        make_env = None
+
+        def accel_local(p, m, env=None):
             return ring_accelerations(p, m, k, **ropts)
 
     elif comm == "ring_sym":
@@ -231,7 +245,9 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
                 pt, mt, ps, ms, block=blk_size, interpret=interp
             )
 
-        def accel_local(p, m):
+        make_env = None
+
+        def accel_local(p, m, env=None):
             return _accel_ring_sym(p, m, self_fn, two_sided_fn)
 
     else:
@@ -246,31 +262,34 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
                 f"{sorted(_ACCEL_MODES) + ['rdma', 'ring_sym']}"
             ) from None
 
-        def accel_local(p, m):
+        make_env = None
+
+        def accel_local(p, m, env=None):
             return accel_mode(between_fn, p, m)
 
     dtf = jnp.float32(dt)
     half = jnp.float32(0.5) * dtf
 
     def block(pos, vel, mass):
+        env = make_env(pos, mass) if make_env is not None else None
         if integrator == "euler":
 
             def step(_, carry):
                 p, v = carry
-                acc = accel_local(p, mass)
+                acc = accel_local(p, mass, env)
                 v = v + acc * dtf
                 p = p + v * dtf
                 return (p, v)
 
             pos, vel = lax.fori_loop(0, block_steps, step, (pos, vel))
         else:  # leapfrog (kick-drift-kick, acceleration carried)
-            acc0 = accel_local(pos, mass)
+            acc0 = accel_local(pos, mass, env)
 
             def step(_, carry):
                 p, v, acc = carry
                 v_h = v + acc * half
                 p = p + v_h * dtf
-                acc_n = accel_local(p, mass)
+                acc_n = accel_local(p, mass, env)
                 return (p, v_h + acc_n * half, acc_n)
 
             pos, vel, _ = lax.fori_loop(0, block_steps, step, (pos, vel, acc0))

@@ -134,8 +134,9 @@ def _stubs():
         zero = jnp.zeros((m, m, m), c64)
         return (one, one, one), (zero, zero, zero)
 
-    def plain_grids(rho_hat, rho_over_hat_fn, h, ng, rc2, has_over):
-        (kx, ky, kz), _ = pm._p3m_spectra(h, ng, rc2)
+    def plain_grids(rho_hat, rho_over_hat_fn, h, ng, rc2, has_over,
+                    spectra=None):
+        (kx, ky, kz), _ = spectra or pm._p3m_spectra(h, ng, rc2)
         g = jnp.stack([
             -jnp.fft.ifftn(rho_hat * k).real[:ng, :ng, :ng]
             for k in (kx, ky, kz)])

@@ -419,9 +419,14 @@ def test_sr_pallas_differentiable_ad_wrapper():
         return jnp.mean(pm.accelerations(p, mass, differentiable=True,
                                          **kw) ** 2)
 
-    g_xla = np.asarray(jax.jit(jax.grad(loss))(pos))  # XLA end-to-end
-    pm.SR_SWEEP_IMPL = "pallas"
+    # Pin the plain (unpaired) layout: the differentiable dispatch masks
+    # paired rows off (slab-granular backward), so under the
+    # pallas_paired_sym DEFAULT the non-differentiable primal runs a
+    # different summation order — bit-identity is a same-layout claim.
+    prev = pm.set_sr_layout(("xla", False, False))
     try:
+        g_xla = np.asarray(jax.jit(jax.grad(loss))(pos))
+        pm.set_sr_layout(("pallas", False, False))
         a_nd = np.asarray(pm.accelerations(pos, mass, **kw))
         a_d = np.asarray(pm.accelerations(pos, mass, differentiable=True,
                                           **kw))
@@ -430,8 +435,7 @@ def test_sr_pallas_differentiable_ad_wrapper():
         pm.SR_SYMMETRIC = True
         g_sym = np.asarray(jax.jit(jax.grad(loss))(pos))
     finally:
-        pm.SR_SWEEP_IMPL = "auto"
-        pm.SR_SYMMETRIC = False
+        pm.set_sr_layout(prev)
     scale = np.abs(g_xla).max()
     assert np.isfinite(g_pl).all() and np.abs(g_pl).max() > 0
     np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-5 * scale)
@@ -841,6 +845,11 @@ def _probe_env(monkeypatch, tmp_path, outcomes):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
     monkeypatch.setattr(pm, "SR_SWEEP_IMPL", "auto")
     monkeypatch.setattr(pm, "SR_FLUSH_RUNS", True)
+    # Pin the plain layout: these tests exercise the probe LADDER with
+    # deterministic (sym, flush, paired) keys, independent of the
+    # module's default layout (pallas_paired_sym since round 4).
+    monkeypatch.setattr(pm, "SR_SYMMETRIC", False)
+    monkeypatch.setattr(pm, "SR_PAIRED_ROWS", False)
     monkeypatch.setattr(pm, "_MOSAIC_PROBE", {})
     monkeypatch.setattr(pm, "_on_real_tpu", lambda: True)
     monkeypatch.setattr(pm, "_sr_probe_compile", fake_probe)
