@@ -80,16 +80,22 @@ def _suite(kernel: str) -> int:
 
 
 # Perf-regression gate (scripts/tpu_check.sh): per-config floors pinned
-# to round-2/3 measured rates minus ~5-8% margin, so kernel work cannot
+# to round-3/4 measured rates minus ~5-10% margin, so kernel work cannot
 # silently regress a tier.  gflops_model floors are in the reference's
-# own flop model (29 N^2 + 19 N); the pm row gates ms/step instead
-# (the mesh tier's cost is not pair-shaped).
-# (name, precision, n, timed steps, kernel, metric, op, bound)
+# own flop model (29 N^2 + 19 N); the mesh rows gate ms/step instead
+# (the mesh tier's cost is not pair-shaped).  The Plummer p3m row is the
+# clustered-IC sentinel (round-3 VERDICT item 7): the short-range tier's
+# whole point is clustered accuracy, and a plan/sweep regression would
+# pass every uniform floor (measured 234.5 ms/step round 4,
+# logs/hw_contact/p3m_stress_r4.log).
+# (name, precision, n, timed steps, kernel, metric, op, bound[, extras])
 GATES = (
     ("n16384-f32", "f32", 16384, 500, None, "gflops_model", ">=", 8500.0),
-    ("n262144-f32", "f32", 262144, 64, None, "gflops_model", ">=", 9200.0),
-    ("bf16-n131072", "bf16", 131072, 100, None, "gflops_model", ">=", 7500.0),
-    ("pm-n1m", "f32", 1048576, 8, "pm", "ms_per_step", "<=", 150.0),
+    ("n262144-f32", "f32", 262144, 64, None, "gflops_model", ">=", 9500.0),
+    ("bf16-n131072", "bf16", 131072, 100, None, "gflops_model", ">=", 8500.0),
+    ("pm-n1m", "f32", 1048576, 8, "pm", "ms_per_step", "<=", 140.0),
+    ("p3m-plummer-262k", "f32", 262144, 16, "p3m", "ms_per_step", "<=",
+     260.0, {"distribution": "plummer"}),
 )
 
 
@@ -98,13 +104,18 @@ def _gate(kernel: str) -> int:
     from nbody_tpu.utils.flops import step_gflops
 
     failed = 0
-    for name, precision, n, steps, kernel_pin, metric, op, bound in GATES:
+    for name, precision, n, steps, kernel_pin, metric, op, bound, *ex \
+            in GATES:
+        extras = ex[0] if ex else {}
         cfg = SimConfig(n=n, nsteps=steps, kernel=kernel_pin or kernel,
                         precision=precision)
+        dist = extras.get("distribution", "reference")
         half = max(1, steps // 2)
         chunked = _force_chunked(cfg, 2 * half)
-        t_half = _timed_steps(cfg, half, force_chunked=chunked)
-        t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked)
+        t_half = _timed_steps(cfg, half, force_chunked=chunked,
+                              distribution=dist)
+        t_full = _timed_steps(cfg, 2 * half, force_chunked=chunked,
+                              distribution=dist)
         sps = half / max(t_full - t_half, 1e-9)
         if metric == "gflops_model":
             value = step_gflops(n) * sps
@@ -152,7 +163,8 @@ def _env_fn(cfg):
     return lambda pos, mass: pm_ops.make_mesh_env(pos, mass, **kw)
 
 
-def _timed_steps(cfg, nsteps, force_chunked=None):
+def _timed_steps(cfg, nsteps, force_chunked=None,
+                 distribution="reference"):
     """Wall time for an nsteps on-device run (one warm-started block fn)."""
     from nbody_tpu.init import make_state
     from nbody_tpu.models.gravity import (
@@ -163,7 +175,9 @@ def _timed_steps(cfg, nsteps, force_chunked=None):
         needs_host_chunking,
     )
 
-    state = make_state(cfg.n, pad_multiple=cfg.pad_multiple())
+    state = make_state(cfg.n, pad_multiple=cfg.pad_multiple(),
+                       distribution=distribution,
+                       seed=42 if distribution == "reference" else 7)
     # P3M rows run on the MEASURED short-range plan, exactly like an
     # engine run (guaranteed-sufficient bounds oversize the tables and
     # under-report the tier's real rate); mutating cfg here also lets

@@ -256,12 +256,18 @@ def _two_sided_kernel(ps_t, ps_s, out_t, out_s, itile_s, *, block, nbi, nbj,
             return (ax, ay, az)
 
         zero = jnp.zeros((B, 1), jnp.float32)
-        # unroll=2: overlap consecutive tiles' rsqrts (the _sym_kernel
-        # manual-unroll win, logs/hw_contact/sym_headroom.log); static
-        # bounds here so fori_loop unrolls directly.  Body order is
-        # unchanged — sums stay bit-identical.
-        ax, ay, az = lax.fori_loop(0, nbj, jt_body, (zero, zero, zero),
-                                   unroll=2)
+        # 2x-unrolled j sweep: overlap consecutive tiles' rsqrts (the
+        # _sym_kernel win, logs/hw_contact/sym_headroom.log).  Manual —
+        # Mosaic's in-kernel fori_loop rejects partial unroll= factors
+        # (only 1 or full) when COMPILED, which interpret-mode tests
+        # cannot see.  Body order is unchanged, sums bit-identical.
+        nfull = nbj // 2
+
+        def jt_two(k, acc):
+            return jt_body(2 * k + 1, jt_body(2 * k, acc))
+
+        acc0 = lax.fori_loop(0, nfull, jt_two, (zero, zero, zero))
+        ax, ay, az = lax.fori_loop(2 * nfull, nbj, jt_body, acc0)
         isl = pl.ds(i0, B)
         out_t[0:1, isl] = jnp.transpose(ax)
         out_t[1:2, isl] = jnp.transpose(ay)
