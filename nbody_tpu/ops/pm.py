@@ -1151,10 +1151,22 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     # padding and letting phantom zero-weight entries overflow a
     # measured ``suggest_sr_plan`` e_max (dropping real tail entries).
     hi_w = jnp.minimum(slab_hi[:, None] + (off_arr + sub), n_cells - 1)
-    s0 = jnp.searchsorted(slab_hi, lo_w.reshape(-1),
-                          side="left").reshape(s_max, n_rows).astype(i32)
-    s1 = jnp.searchsorted(slab_lo, hi_w.reshape(-1),
-                          side="right").reshape(s_max, n_rows).astype(i32)
+    # Interval bounds by counting-LUT instead of searchsorted: the
+    # queries live on the small integer domain [0, n_cells], so
+    # searchsorted(A, c, left) = #\{a in A : a < c\} is a scatter-count
+    # of A followed by a cumsum, then one GATHER per query — one memory
+    # pass instead of log2(S) binary-search passes (measured 15.4 ms ->
+    # 0.9 ms for the pair at S=8192, R=25, Plummer N=262144 on v5e;
+    # bit-identical).  Padding slabs sit at the n_cells sentinel ->
+    # LUT slot n_cells+1, counted only by queries clipped there, exactly
+    # like searchsorted's out-of-range answer.
+    def count_lt(vals, queries):
+        cnt = jnp.zeros((n_cells + 2,), i32).at[
+            jnp.clip(vals + 1, 0, n_cells + 1)].add(1, mode="drop")
+        return jnp.cumsum(cnt)[jnp.clip(queries, 0, n_cells + 1)]
+
+    s0 = count_lt(slab_hi, lo_w.reshape(-1)).reshape(s_max, n_rows)
+    s1 = count_lt(slab_lo, hi_w.reshape(-1) + 1).reshape(s_max, n_rows)
     run = jnp.concatenate(
         [jnp.zeros((s_max, 1), i32),
          jax.lax.cummax(s1, axis=1)[:, :-1]], axis=1)
@@ -1196,14 +1208,40 @@ def _sr_ranges(slab_lo, slab_hi, nc: int, sub: int, e_max: int,
     # seed.  Positions >= n_e may disagree with searchsorted's
     # out-of-range answer, but they are masked to the sentinel below
     # either way.
-    start_pos = jnp.where((flat > 0) & (base < e_max), base, e_max)
-    marks = jnp.zeros((e_max,), i32).at[start_pos].max(
-        jnp.arange(flat.shape[0], dtype=i32), mode="drop")
-    j_c = jnp.minimum(jax.lax.cummax(marks), flat.shape[0] - 1)
+    nonempty = flat > 0
+    start_pos = jnp.where(nonempty & (base < e_max), base, e_max)
+    buckets = jnp.arange(flat.shape[0], dtype=i32)
+    # Target slab per entry: t = bucket // n_rows is MONOTONE in bucket,
+    # so scattering it at each nonempty bucket's segment start and
+    # running-maxing carries it across the segment (empty buckets drop;
+    # entries before the first start need 0 = the cummax seed, and
+    # position 0 is always a start when n_e > 0 because the first
+    # nonempty bucket has base 0).
+    t_marks = jnp.zeros((e_max,), i32).at[start_pos].max(
+        buckets // n_rows, mode="drop")
+    t_fill = jax.lax.cummax(t_marks)
+    # Source slab per entry:
+    #   wl_s = s0[bucket] + (position - base[bucket]) = v[bucket] + position
+    # with v = s0 - base per-segment constant but NOT monotone, so the
+    # max trick above does not apply.  Instead scatter each segment's
+    # DELTA of v (vs the previous nonempty bucket) at its start and
+    # integrate with a cumsum — it telescopes to v inside every segment.
+    # The previous nonempty bucket's v comes from a rank compaction:
+    # (S*R)-sized gathers, ~10x cheaper than the e_max-sized s0[j_c]
+    # gather this replaces (gathers measure ~7 ns/element on v5e — 15 ms
+    # per 2M-entry gather, vs ~1.5 ms per 2M-element scan or scatter).
+    v = s0.reshape(-1) - base
+    rank = jnp.cumsum(nonempty.astype(i32))  # inclusive rank
+    order = jnp.where(nonempty, rank - 1, flat.shape[0])
+    v_by_order = jnp.zeros((flat.shape[0],), i32).at[order].set(
+        v, mode="drop")
+    prev_v = jnp.where(rank >= 2, v_by_order[jnp.maximum(rank - 2, 0)], 0)
+    delta = jnp.where(nonempty, v - prev_v, 0)
+    v_marks = jnp.zeros((e_max,), i32).at[start_pos].add(delta, mode="drop")
+    v_fill = jnp.cumsum(v_marks)
     ok = e_idx < n_e
-    wl_t = jnp.where(ok, j_c // n_rows, s_max).astype(i32)
-    wl_s = jnp.where(ok, s0.reshape(-1)[j_c] + (e_idx - base[j_c]),
-                     sent_s).astype(i32)
+    wl_t = jnp.where(ok, t_fill, s_max).astype(i32)
+    wl_s = jnp.where(ok, v_fill + e_idx, sent_s).astype(i32)
     return wl_t, wl_s, n_e
 
 

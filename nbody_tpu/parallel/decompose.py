@@ -154,9 +154,16 @@ _ACCEL_MODES = {"allgather": _accel_allgather, "ring": _accel_ring}
 
 def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
                           block_steps: int, mesh: Mesh, comm: str = "allgather",
-                          integrator: str = "euler"):
+                          integrator: str = "euler",
+                          external_env: bool = False):
     """Jitted sample block over a particle-sharded state: advances
-    ``block_steps`` steps fully on device and returns (state, kenergy)."""
+    ``block_steps`` steps fully on device and returns (state, kenergy).
+
+    ``external_env=True`` (mesh kernels only) moves the per-block frozen
+    mesh environment from inside the block to a ``run(state, env)``
+    argument (plus ``run.make_env(state)`` to build it), so a host-side
+    watchdog sub-block loop can freeze ONE env for the whole outer
+    sample block — physics identical to the monolithic block."""
     from ..models.integrators import INTEGRATORS
     from ..ops import registry
 
@@ -270,8 +277,7 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
     dtf = jnp.float32(dt)
     half = jnp.float32(0.5) * dtf
 
-    def block(pos, vel, mass):
-        env = make_env(pos, mass) if make_env is not None else None
+    def _steps(pos, vel, mass, env):
         if integrator == "euler":
 
             def step(_, carry):
@@ -298,8 +304,39 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         ke = lax.psum(jnp.float32(0.5) * jnp.sum(mass * v2), AXIS)
         return pos, vel, ke
 
+    if external_env:
+        if make_env is None:
+            raise ValueError("external_env requires a mesh kernel (pm/p3m)")
+        # The env (replicated pytree) enters as an ARGUMENT so a
+        # host-side sub-block loop can freeze it once per outer sample
+        # block — the same once-per-block semantics as the monolithic
+        # path below and the single-device host-chunked runner
+        # (models/gravity.py make_host_chunked_block_fn); re-freezing
+        # per sub-block would make the watchdog split physically
+        # observable (the box drifts between sub-blocks).
+        block = _steps
+        in_specs = (P(None, AXIS), P(None, AXIS), P(AXIS), P())
+
+        def _shmap(f, ispecs, ospecs):
+            try:
+                return shard_map(f, mesh=mesh, check_vma=False,
+                                 in_specs=ispecs, out_specs=ospecs)
+            except TypeError:  # pragma: no cover
+                return shard_map(f, mesh=mesh, check_rep=False,
+                                 in_specs=ispecs, out_specs=ospecs)
+
+        env_jitted = jax.jit(_shmap(
+            lambda pos, mass: make_env(pos, mass),
+            (P(None, AXIS), P(AXIS)), P()))
+    else:
+        def block(pos, vel, mass):
+            env = make_env(pos, mass) if make_env is not None else None
+            return _steps(pos, vel, mass, env)
+
+        in_specs = (P(None, AXIS), P(None, AXIS), P(AXIS))
+
     specs = dict(
-        in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)),
+        in_specs=in_specs,
         out_specs=(P(None, AXIS), P(None, AXIS), P()),
     )
     try:
@@ -310,8 +347,19 @@ def make_sharded_block_fn(kernel_name: str, kernel_opts: dict, dt: float,
         sharded = shard_map(block, mesh=mesh, check_rep=False, **specs)
     jitted = jax.jit(sharded)
 
-    def run(state: ParticleState):
-        pos, vel, ke = jitted(state.pos, state.vel, state.mass)
-        return ParticleState(pos=pos, vel=vel, mass=state.mass, n=state.n), ke
+    if external_env:
+        def run(state: ParticleState, env=None):
+            if env is None:
+                env = env_jitted(state.pos, state.mass)
+            pos, vel, ke = jitted(state.pos, state.vel, state.mass, env)
+            return (ParticleState(pos=pos, vel=vel, mass=state.mass,
+                                  n=state.n), ke)
+
+        run.make_env = lambda state: env_jitted(state.pos, state.mass)
+    else:
+        def run(state: ParticleState):
+            pos, vel, ke = jitted(state.pos, state.vel, state.mass)
+            return (ParticleState(pos=pos, vel=vel, mass=state.mass,
+                                  n=state.n), ke)
 
     return run

@@ -253,11 +253,16 @@ class _DeviceRunner(_BlockRunner):
                 # Cached independently of the outer block length so every
                 # sample block reuses the same compiled sub-executable
                 # (remote compiles cost 1-300 s per new shape here).
+                # external_env: the sub-block loop freezes ONE mesh env
+                # per outer sample block (below) — re-freezing per
+                # sub-block would make the watchdog split physically
+                # observable vs the monolithic sharded block.
                 key = ("pm-sub", k)
                 if key not in self._blocks:
                     self._blocks[key] = make_sharded_block_fn(
                         cfg.kernel, cfg.kernel_opts(), cfg.dt, k, mesh,
                         comm=cfg.comm, integrator=cfg.integrator,
+                        external_env=resolved in ("pm", "p3m"),
                     )
                 return self._blocks[key]
 
@@ -273,10 +278,15 @@ class _DeviceRunner(_BlockRunner):
                     sub = max(1, min(steps, int(budget / max(est, 1e-9))))
 
                     def block(st):
-                        done, ke = 0, None
+                        done, ke, env = 0, None, None
                         while done < steps:
                             k = min(sub, steps - done)
-                            st, ke = sharded_sub_block(k)(st)
+                            sb = sharded_sub_block(k)
+                            if env is None:
+                                # ONE frozen env for the whole outer
+                                # sample block, like the monolithic path
+                                env = sb.make_env(st)
+                            st, ke = sb(st, env)
                             done += k
                         return st, ke
 
