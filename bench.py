@@ -30,9 +30,12 @@ REFERENCE_GFLOPS = 4.0513  # ver0 published average (BASELINE.md)
 # kernel uses the --kernel argument; the pm rows pin the O(N log N) mesh
 # tier, whose gflops_model/pairs_per_sec report EQUIVALENT exact-model
 # work per second (the mesh solve does O(ng^3 log ng + N) actual work).
-# The periodic row boxes the reference's U(0,1)^3 ICs at L=1 — expected
-# FASTER than open p3m (ng^3 FFTs instead of (2 ng)^3, no per-step
-# kernel transforms).
+# The periodic row boxes the reference's U(0,1)^3 ICs at L=1.  Its MESH
+# half is measured faster than open pm (ng^3 FFTs instead of (2 ng)^3:
+# 106 vs 124 ms at N=1M, logs/hw_contact/periodic_ab_r5.log), but the
+# full p3m row is slower than open p3m: the short-range half pays for
+# ghost images (~0.37N extra particles at the default R_c through
+# pack/ranges/sweep) — see docs/DESIGN.md "Periodic P3M cost ledger".
 SUITE = (
     ("parity-n2000", "f32", 2000, 20000, False, None),
     ("parity-n2000-fused", "f32", 2000, 20000, True, None),
@@ -86,8 +89,10 @@ def _suite(kernel: str) -> int:
 # (the mesh tier's cost is not pair-shaped).  The Plummer p3m row is the
 # clustered-IC sentinel (round-3 VERDICT item 7): the short-range tier's
 # whole point is clustered accuracy, and a plan/sweep regression would
-# pass every uniform floor (measured 234.5 ms/step round 4,
-# logs/hw_contact/p3m_stress_r4.log).
+# pass every uniform floor.  Its floor sits BELOW the same-config exact
+# kernel (~199 ms/step) so the gate certifies the tier WINNING its
+# flagship regime, not just existing (measured 182.7 ms/step round 5
+# with per-layout worklist sizing, logs/hw_contact/p3m_stress_r5.log).
 # (name, precision, n, timed steps, kernel, metric, op, bound[, extras])
 GATES = (
     ("n16384-f32", "f32", 16384, 500, None, "gflops_model", ">=", 8500.0),
@@ -95,7 +100,7 @@ GATES = (
     ("bf16-n131072", "bf16", 131072, 100, None, "gflops_model", ">=", 8500.0),
     ("pm-n1m", "f32", 1048576, 8, "pm", "ms_per_step", "<=", 140.0),
     ("p3m-plummer-262k", "f32", 262144, 16, "p3m", "ms_per_step", "<=",
-     260.0, {"distribution": "plummer"}),
+     195.0, {"distribution": "plummer"}),
 )
 
 

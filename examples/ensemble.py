@@ -10,6 +10,15 @@ tiers batch their FFTs) — and, given a device mesh, the member axis
 shards with ZERO collectives (embarrassingly parallel data parallelism
 over runs).
 
+Measured on the v5e (round 5, scripts/exp_ensemble.py,
+logs/hw_contact/ensemble_r5.log): E=64 × N=2048 × 50 steps runs
+1.09× faster as one vmap'd block than as E sequential block
+dispatches (101.3 vs 110.5 ms) — the dispatch amortization is real
+but modest at this member size, and grows as members shrink; the
+batched form is also the only one whose member axis shards over a
+mesh with zero collectives (see docs/DESIGN.md "Ensemble dispatch
+amortization").
+
 Usage: python examples/ensemble.py [E] [N] [steps] [kernel]
 Add --mesh to shard members over all local devices.
 """

@@ -446,12 +446,23 @@ def _ghost_images(pos_w, mass, box, rc, gcap: int):
     cpos = jnp.concatenate(cand_pos, axis=1)  # (3, 7N)
     cok = jnp.concatenate(cand_ok)
     cmass = jnp.tile(mass, len(_GHOST_COMBOS))
-    idx = jnp.cumsum(cok.astype(i32)) - 1
-    dest = jnp.where(cok & (idx < gcap), idx, gcap)  # gcap = drop slot
-    gpos = jnp.zeros((3, gcap + 1), f32).at[:, dest].set(cpos)[:, :gcap]
-    gmass = jnp.zeros((gcap + 1,), f32).at[dest].set(
-        jnp.where(cok, cmass, f32(0)))[:gcap]
-    return gpos, gmass, jnp.sum(cok.astype(i32))
+    # Compaction as a GATHER, not a scatter: slot g takes the candidate
+    # where the inclusive ok-cumsum first reaches g+1 (an ok candidate
+    # by construction; identical slot->candidate mapping to the
+    # previous cumsum-indexed scatter).  TPU scatters over the 7N
+    # candidate axis are sort-based executable monsters — this was
+    # ~0.4 s/step of the periodic N=1M p3m anomaly (VERDICT r4 item 2;
+    # logs/hw_contact/periodic_ab_r5.log) — while a searchsorted into
+    # the monotone cumsum plus a gcap-sized gather rides the VPU.
+    cum = jnp.cumsum(cok.astype(i32))
+    n_ghost = cum[-1]
+    slots = jnp.arange(gcap, dtype=i32)
+    src = jnp.searchsorted(cum, slots + 1, side="left")
+    src = jnp.minimum(src, cok.shape[0] - 1)
+    valid = slots < n_ghost
+    gpos = jnp.where(valid[None, :], cpos[:, src], f32(0))
+    gmass = jnp.where(valid, cmass[src], f32(0))
+    return gpos, gmass, n_ghost
 
 
 def _periodic_cells(ng: int, cutoff_cells: int):
@@ -1815,15 +1826,23 @@ def _monopole(pos_tgt, m_tot, com):
     return m_tot * d * (u * u * u)
 
 
-def _periodic_between(pos_tgt, pos_src, mass_src, ng: int, box: float):
+def _periodic_between(pos_tgt, pos_src, mass_src, ng: int, box: float,
+                      spectra=None):
     """Periodic-box mesh accelerations of targets due to sources:
     wrapped CIC deposit -> ng^3 FFT -> spectral multiply by the
     closed-form periodic Plummer kernel -> wrapped CIC gather.  See the
     "Periodic-box boundary mode" section above for the method and its
     measured accuracy.  Natively differentiable (the wrap is identity
-    a.e.; the spectrum is a constant of the trace)."""
+    a.e.; the spectrum is a constant of the trace).  ``spectra``: the
+    frozen (ikx phi, iky phi, ikz phi) force spectra from a periodic
+    mesh_env (None = rebuild in-trace)."""
     rho = _deposit_periodic(pos_src, mass_src, box, ng)
-    acc_grids = _pm_force_grids_periodic(jnp.fft.fftn(rho), box, ng)
+    rho_hat = jnp.fft.fftn(rho)
+    if spectra is not None:
+        acc_grids = jnp.stack(
+            [jnp.fft.ifftn(rho_hat * s).real for s in spectra])
+    else:
+        acc_grids = _pm_force_grids_periodic(rho_hat, box, ng)
     acc = _gather_periodic(acc_grids, pos_tgt, box, ng)
     return (acc * jnp.float32(G_NEWTON)).astype(jnp.float32)
 
@@ -1831,7 +1850,8 @@ def _periodic_between(pos_tgt, pos_src, mass_src, ng: int, box: float):
 def _periodic_p3m_between(pos_tgt, pos_src, mass_src, same_set: bool,
                           ng: int, box: float, cutoff_cells: int,
                           capacity: int, sr_slabs: int, sr_entries: int,
-                          sr_ghosts: int, differentiable: bool):
+                          sr_ghosts: int, differentiable: bool,
+                          spectra=None):
     """Periodic P3M: the periodic mesh long-range solve plus the exact
     short-range correction, via GHOST IMAGES.
 
@@ -1884,7 +1904,11 @@ def _periodic_p3m_between(pos_tgt, pos_src, mass_src, same_set: bool,
             jnp.logical_not(binned_src), mass_src > 0)) | jnp.any(
                 jnp.logical_not(binned_all[ns + gcap:]))
     rho_hat = jnp.fft.fftn(_deposit_periodic(src_w, mass_src, box, ng))
-    comb, comp = _periodic_p3m_spectra(box, ng, rc2)
+    # Frozen-env spectra when given (constants of the run — fixed box);
+    # the in-trace rebuild costs 3 ng^3 fftns + ng^3 kernel sampling
+    # per STEP otherwise.
+    comb, comp = (spectra if spectra is not None
+                  else _periodic_p3m_spectra(box, ng, rc2))
     acc_grids, comp_grids = _periodic_p3m_force_grids(
         rho_hat,
         lambda: jnp.fft.fftn(_deposit_periodic(src_w, m_over, box, ng)),
@@ -1936,6 +1960,33 @@ def _check_boundary(boundary: str, box_size: float):
             "boundary='periodic' needs box_size > 0 (the fixed cubic "
             "box edge; positions are wrapped into [0, box_size))")
     return True
+
+
+def _check_mesh_env(mesh_env: dict, ng: int, cutoff_cells: int,
+                    periodic: bool = False):
+    """Validate a mesh_env against the consuming solver config and
+    return its spectra.  STRUCTURAL checks only (tuple nesting + array
+    shapes survive jit boundaries; Python tags would arrive as tracers
+    when the env is built in its own executable, as the host-chunked
+    per-step path does): a p3m env is ((kx,ky,kz),(sx,sy,sz)), a plain
+    pm env (kx,ky,kz); every open-boundary spectrum is (2ng)^3, every
+    periodic one ng^3 (which is also what tells the two apart).
+    Shared by accelerations_between and sharded_accelerations so a
+    grid-, solver- or boundary-mismatched env fails with THIS message
+    on both paths instead of an opaque downstream shape/unpack
+    error."""
+    spectra = mesh_env["spectra"]
+    env_is_p3m = isinstance(spectra[0], tuple)
+    env_m = (spectra[0][0] if env_is_p3m else spectra[0]).shape[0]
+    want_m = ng if periodic else 2 * ng
+    if env_is_p3m != bool(cutoff_cells) or env_m != want_m:
+        raise ValueError(
+            "mesh_env was built for a different solver config "
+            f"(env spectra {env_m}^3, p3m={env_is_p3m}; call has "
+            f"grid={ng}, p3m={bool(cutoff_cells)}, "
+            f"boundary={'periodic' if periodic else 'open'} -> "
+            f"wants {want_m}^3)")
+    return spectra
 
 
 def accelerations_between(
@@ -2017,28 +2068,26 @@ def accelerations_between(
     if same_set:
         pos_tgt = pos_src
     if _check_boundary(boundary, box_size):
+        # The periodic kernel spectra are constants of the RUN (fixed
+        # box, static grid/cutoff) — a mesh_env carries them frozen so
+        # the step skips their per-step rebuild (3 ng^3 fftns + ng^3
+        # sampling for p3m; this was the round-4 "periodic 2.6x slower
+        # than open" anomaly: the env used to be silently ignored
+        # here).
+        p_spec = None
+        if mesh_env:
+            p_spec = _check_mesh_env(mesh_env, ng, cutoff_cells,
+                                     periodic=True)
         if not cutoff_cells:
             return _periodic_between(pos_tgt, pos_src, mass_src, ng,
-                                     float(box_size))
+                                     float(box_size), spectra=p_spec)
         return _periodic_p3m_between(
             pos_tgt, pos_src, mass_src, same_set, ng, float(box_size),
             int(cutoff_cells), capacity, sr_slabs, sr_entries,
-            int(sr_ghosts), differentiable)
+            int(sr_ghosts), differentiable, spectra=p_spec)
     spectra = None
     if mesh_env:
-        # Validate STRUCTURALLY (tuple nesting + array shapes survive
-        # jit boundaries; Python tags would arrive as tracers when the
-        # env is built in its own executable, as the host-chunked
-        # per-step path does): a p3m env is ((kx,ky,kz),(sx,sy,sz)), a
-        # plain-pm env (kx,ky,kz), and every spectrum is (2ng)^3.
-        spectra = mesh_env["spectra"]
-        env_is_p3m = isinstance(spectra[0], tuple)
-        env_m = (spectra[0][0] if env_is_p3m else spectra[0]).shape[0]
-        if env_is_p3m != bool(cutoff_cells) or env_m != 2 * ng:
-            raise ValueError(
-                "mesh_env was built for a different solver config "
-                f"(env grid={env_m // 2}, p3m={env_is_p3m}; call has "
-                f"grid={ng}, p3m={bool(cutoff_cells)})")
+        spectra = _check_mesh_env(mesh_env, ng, cutoff_cells)
         lo_box, hi_box = mesh_env["lo_box"], mesh_env["hi_box"]
     else:
         lo_box, hi_box = _robust_box(pos_src, mass_src)
@@ -2211,12 +2260,21 @@ def sharded_accelerations(
         # Periodic sharded solve is the simplest decomposition of all:
         # the box is STATIC (no psum'd extents), so it is local deposit
         # -> ONE grid psum -> replicated spectral solve (the kernel
-        # spectrum is a trace constant) -> local gather.
+        # spectrum is a run constant, frozen in the env when given)
+        # -> local gather.
         box = float(box_size)
+        p_spec = None
+        if mesh_env:
+            p_spec = _check_mesh_env(mesh_env, ng, cutoff_cells,
+                                     periodic=True)
         rho = psum(_deposit_periodic(pos_l, mass_l, box, ng))
         if not cutoff_cells:
-            acc_grids = _pm_force_grids_periodic(jnp.fft.fftn(rho), box,
-                                                 ng)
+            rho_hat = jnp.fft.fftn(rho)
+            if p_spec is not None:
+                acc_grids = jnp.stack(
+                    [jnp.fft.ifftn(rho_hat * s).real for s in p_spec])
+            else:
+                acc_grids = _pm_force_grids_periodic(rho_hat, box, ng)
             acc = _gather_periodic(acc_grids, pos_l, box, ng)
             return (acc * f32(G_NEWTON)).astype(f32)
         # Periodic P3M: mesh half local+psum as above; the short-range
@@ -2252,7 +2310,8 @@ def sharded_accelerations(
         has_over = jnp.any(jnp.logical_and(
             jnp.logical_not(binned[:n_all]), m_all > 0))
         rho_hat = jnp.fft.fftn(rho)
-        comb, comp = _periodic_p3m_spectra(box, ng, rc2)
+        comb, comp = (p_spec if p_spec is not None
+                      else _periodic_p3m_spectra(box, ng, rc2))
         acc_grids, comp_grids = _periodic_p3m_force_grids(
             rho_hat, lambda: jnp.fft.fftn(rho_over), comb, comp,
             has_over)
@@ -2291,7 +2350,7 @@ def sharded_accelerations(
         return (acc * f32(G_NEWTON)).astype(f32)
 
     if mesh_env:
-        spectra = mesh_env["spectra"]
+        spectra = _check_mesh_env(mesh_env, ng, cutoff_cells)
         lo_box, hi_box = mesh_env["lo_box"], mesh_env["hi_box"]
     else:
         spectra = None
@@ -2386,6 +2445,33 @@ def sharded_accelerations(
     return (acc * f32(G_NEWTON)).astype(f32)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _make_periodic_env(ng: int, cutoff_cells: int, box: float) -> dict:
+    """Frozen periodic mesh environment: the force-kernel spectra ONLY
+    (the box is fixed — no lo/hi to freeze).  These are constants of
+    the whole RUN (box/grid/cutoff are static), so freezing them in
+    the per-block env removes their in-trace rebuild from every step:
+    for p3m that rebuild is 3 ng^3 fftns + the ng^3 min-image kernel
+    sampling — the round-4 'periodic p3m 2.6x slower than open at
+    N=1M' anomaly (VERDICT r4), since the open path already froze its
+    spectra while the periodic dispatch silently ignored the env.
+
+    All-static jit (cached per config): the build must compile as ONE
+    executable — eagerly it is thousands of per-op tunnel dispatches,
+    and this backend's EAGER complex binops raise UNIMPLEMENTED
+    (logs/hw_contact/periodic_ablate_r5.log) while the identical jitted
+    graph compiles fine.  Callers inside an outer jit just inline."""
+    if cutoff_cells:
+        _, _, rc, _, _, _ = _periodic_geom(ng, int(cutoff_cells),
+                                           float(box))
+        return {"spectra": _periodic_p3m_spectra(float(box), ng,
+                                                 rc * rc)}
+    phi = _periodic_phi_spectrum(float(box), ng)
+    k1d = _periodic_kvecs(float(box), ng)
+    axes = (k1d[:, None, None], k1d[None, :, None], k1d[None, None, :])
+    return {"spectra": tuple((1j * kc) * phi for kc in axes)}
+
+
 def make_mesh_env_sharded(pos_l, mass_l, axis, grid: int = DEFAULT_GRID,
                           cutoff_cells: int = 0, boundary: str = "open",
                           box_size: float = 0.0, **_opts) -> dict:
@@ -2395,7 +2481,7 @@ def make_mesh_env_sharded(pos_l, mass_l, axis, grid: int = DEFAULT_GRID,
     collective results).  Call INSIDE shard_map, once per block."""
     ng = int(grid)
     if _check_boundary(boundary, box_size):
-        return {}
+        return _make_periodic_env(ng, cutoff_cells, float(box_size))
     f32 = jnp.float32
     lo_box, hi_box = _robust_box_sharded(pos_l.astype(f32),
                                          mass_l.astype(f32), axis)
@@ -2423,12 +2509,12 @@ def make_mesh_env(pos, mass, grid: int = DEFAULT_GRID,
     removes ~34 ms/step of kernel sampling + forward transforms from
     the open-boundary p3m step (p3m_ablate.log) at the cost of serving
     intra-block box-leavers by monopole one block early.  Periodic
-    solves need no env (fixed box, closed-form ng^3 spectrum): {} is
-    returned and ignored downstream.  Plans (suggest_sr_plan) and env
-    are refreshed together by the engine's block builder."""
+    solves get a spectra-only env (fixed box; the spectra are run
+    constants — see _make_periodic_env).  Plans (suggest_sr_plan) and
+    env are refreshed together by the engine's block builder."""
     ng = int(grid)
     if _check_boundary(boundary, box_size):
-        return {}
+        return _make_periodic_env(ng, cutoff_cells, float(box_size))
     f32 = jnp.float32
     lo_box, hi_box = _robust_box(pos.astype(f32), mass.astype(f32))
     span = hi_box - lo_box
@@ -2640,16 +2726,36 @@ def suggest_capacity(
     return cap
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+# Index order of the per-layout worklist entry counts returned by
+# _sr_plan_counts: idx = symmetric + 2 * paired.
+_SR_COMBOS = ((False, False), (True, False), (False, True), (True, True))
+
+
+def _count_all_layouts(slab_lo, slab_hi, nc: int, sub: int):
+    """Worklist entry count of every (symmetric, paired) layout combo —
+    a (4,) i32 vector in _SR_COMBOS order.  Counting all four in ONE
+    jitted call keeps the plan/health machinery at one compile per
+    config (remote compiles cost 1-300 s here) while letting
+    suggest_sr_plan size e_max for the ACTIVE layout (the paired
+    symmetric worklist carries ~8x fewer live entries than the full
+    one at clustered 262k — logs/hw_contact/p3m_ablate3.log — and the
+    _sr_ranges expansion cost scales with e_max)."""
+    counts = [
+        _sr_ranges(slab_lo, slab_hi, nc, sub, 1,
+                   symmetric=sym, paired=pr)[2]
+        for sym, pr in _SR_COMBOS
+    ]
+    return jnp.stack(counts)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
-                    symmetric: bool = False, boundary: str = "open",
-                    box_size: float = 0.0):
-    """Measured (S, E) for the short-range plan: packed slab count and
-    the exact worklist entry count _sr_ranges will produce for this
-    state (the tables are built at the static ceil(Ns/SLAB)+1 bound
-    just for counting; the entry count is independent of tail
-    padding).  ``symmetric`` is an explicit static arg (NOT a read of
-    the SR_SYMMETRIC knob: jit would bake the trace-time value)."""
+                    boundary: str = "open", box_size: float = 0.0):
+    """Measured (S, E[4], n_ghost) for the short-range plan: packed slab
+    count and the exact worklist entry count _sr_ranges will produce
+    for this state under EVERY layout combo (the tables are built at
+    the static ceil(Ns/SLAB)+1 bound just for counting; the entry
+    count is independent of tail padding)."""
     f32 = jnp.float32
     pos = pos.astype(f32)
     mass = mass.astype(f32)
@@ -2666,10 +2772,9 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
         s_cap = pos_b.shape[1] // SLAB + 2
         _, _, slab_lo, slab_hi, _, binned = _sr_pack(
             cid, pos_b, m_b, nc_tot ** 3, int(cap), s_cap)
-        _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc_tot, sub, 1,
-                               symmetric=symmetric)
+        n_e4 = _count_all_layouts(slab_lo, slab_hi, nc_tot, sub)
         n_bin = jnp.sum(binned.astype(jnp.int32))
-        return n_bin // SLAB + 2, n_e, n_ghost
+        return n_bin // SLAB + 2, n_e4, n_ghost
     lo_box, hi_box = _robust_box(pos, mass)
     nc, sub = _cell_grid_params(int(grid), int(cutoff))
     n_cells = nc * nc * nc
@@ -2679,23 +2784,61 @@ def _sr_plan_counts(pos, mass, grid: int, cutoff: int, cap: int,
     s_cap = ns // SLAB + 2
     _, _, slab_lo, slab_hi, _, binned = _sr_pack(
         cid, pos, m_in, n_cells, int(cap), s_cap)
-    # e_max=1: only the traced n_entries matters here.
-    _, _, n_e = _sr_ranges(slab_lo, slab_hi, nc, sub, 1,
-                           symmetric=symmetric)
+    n_e4 = _count_all_layouts(slab_lo, slab_hi, nc, sub)
     n_bin = jnp.sum(binned.astype(jnp.int32))
-    return n_bin // SLAB + 2, n_e, jnp.zeros((), jnp.int32)
+    return n_bin // SLAB + 2, n_e4, jnp.zeros((), jnp.int32)
+
+
+def _active_sr_layout(n_slabs_tab: int,
+                      differentiable: bool = False) -> tuple:
+    """The (symmetric, paired) pair the solver will TRACE with for a
+    packed table of ``n_slabs_tab`` slabs (= s_max + 1, matching the
+    solver's ``ptab.shape[1] // SLAB``) under the CURRENT module layout
+    state — replicating accelerations_between's decision, including the
+    _use_pallas_sweep VMEM/Mosaic eligibility gates (an ineligible
+    paired request degrades to the unpaired worklist exactly as the
+    sweep itself does).  suggest_sr_plan and sr_entry_overflow must
+    agree with the solver through THIS helper, or a per-layout-sized
+    plan silently starves the trace."""
+    sym = SR_SYMMETRIC
+    want_pr = SR_PAIRED_ROWS and not differentiable
+    use_pl = _use_pallas_sweep(n_slabs_tab, paired=want_pr)
+    return sym, want_pr and use_pl
+
+
+def _pow2_at_least(x):
+    v = 64
+    while v < x:
+        v *= 2
+    return v
 
 
 def suggest_sr_plan(
     pos, mass, grid: int = DEFAULT_GRID,
     cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
     headroom: float = 1.5, boundary: str = "open",
-    box_size: float = 0.0,
+    box_size: float = 0.0, layout=None,
 ) -> dict:
     """HOST-SIDE data-driven short-range plan: the measured slab count S
     and worklist entry count E of the CONCRETE state, x ``headroom`` for
     drift between block builds, rounded up to powers of two so repeated
     re-suggestion over an evolving state yields stable jit shapes.
+
+    ``sr_entries`` is sized for the layout the solver will actually
+    trace (``layout=None``: the ACTIVE module layout, through the same
+    eligibility gates the sweep applies — _active_sr_layout).  The
+    paired symmetric worklist carries ~8x fewer live entries than the
+    full one on clustered states, and the _sr_ranges expansion cost
+    scales with e_max, so full-worklist sizing taxed every p3m step
+    ~7x on dead padding (round-4 ablation).  The safety this trades
+    away — a plan sized for a clipped worklist silently starves a
+    LATER trace under a bigger layout — is restored at runtime by
+    ``sr_entry_overflow`` (wired into the engine's per-block plan
+    health check, which re-measures and regrows under --pm-replan).
+    Callers that intend to flip layouts under ONE plan (layout races,
+    A/B scripts, the differentiable path with its paired-off masking)
+    must pass ``layout="full"`` (the old behavior) or the largest
+    layout they will run (a name from SR_LAYOUTS).
 
     Static shapes under jit mean a traced call cannot size these from
     the data — the simulation engine calls this once per block build
@@ -2703,34 +2846,75 @@ def suggest_sr_plan(
     re-suggest periodically (scripts/exp_p3m_stress.py does per
     sub-block).  Returns kwargs for the p3m entries:
     ``{"capacity", "sr_slabs", "sr_entries"}``."""
-    # Always size for the FULL (both-directions) worklist, even when
-    # SR_SYMMETRIC is on: the knob is read again at trace time, and a
-    # plan sized for the clipped worklist would silently starve a
-    # later full-worklist trace (dropped entries, no error).  The
-    # symmetric run just gets ~2x entry headroom.
     cap = int(capacity) or suggest_capacity(pos, mass, grid, cutoff_cells,
                                             boundary=boundary,
                                             box_size=box_size)
-    s, e, g = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells),
-                              cap, False, boundary, float(box_size))
-
-    def pow2_at_least(x):
-        v = 64
-        while v < x:
-            v *= 2
-        return v
-
+    s, e4, g = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells),
+                               cap, boundary, float(box_size))
+    s_planned = _pow2_at_least(int(s) * headroom)
+    if layout == "full":
+        sym, pr = False, False
+    elif layout is None:
+        sym, pr = _active_sr_layout(s_planned + 1)
+    else:
+        if layout not in SR_LAYOUTS:
+            raise ValueError(
+                f"unknown SR layout {layout!r}; options: "
+                f"{tuple(SR_LAYOUTS)} or 'full'"
+            )
+        impl, sym, want_pr = SR_LAYOUTS[layout]
+        prev = set_sr_layout(layout)
+        try:
+            _, pr = _active_sr_layout(s_planned + 1)
+            pr = pr and want_pr
+        finally:
+            set_sr_layout(prev)
+    e = int(e4[int(sym) + 2 * int(pr)])
     plan = {
         "capacity": cap,
-        "sr_slabs": pow2_at_least(int(s) * headroom),
-        "sr_entries": pow2_at_least(int(e) * headroom),
+        "sr_slabs": s_planned,
+        "sr_entries": _pow2_at_least(e * headroom),
     }
     if boundary == "periodic":
         # Measured image count (exact for THIS state; headroom for
         # drift), capped at the guaranteed bound.
-        plan["sr_ghosts"] = min(pow2_at_least(int(g) * headroom),
+        plan["sr_ghosts"] = min(_pow2_at_least(int(g) * headroom),
                                 7 * pos.shape[1])
     return plan
+
+
+def sr_entry_overflow(
+    pos, mass, grid: int = DEFAULT_GRID,
+    cutoff_cells: int = DEFAULT_CUTOFF_CELLS, capacity: int = 0,
+    sr_slabs: int = 0, sr_entries: int = 0,
+    boundary: str = "open", box_size: float = 0.0,
+) -> int:
+    """Worklist entries the CURRENT state would overflow past the
+    static ``sr_entries`` plan under the ACTIVE layout — the runtime
+    guard that makes per-layout plan sizing (suggest_sr_plan) safe.
+    Overflowed entries are DROPPED by _sr_ranges: the affected slab
+    pairs silently lose their entire short-range correction (worse
+    than cell overflow, which keeps mesh-quality forces), so ANY
+    nonzero return means the plan must grow — the engine's per-block
+    health check (simulation._check_sr_health) treats it like dropped
+    ghosts and replans under --pm-replan.  ``sr_entries=0`` resolves to
+    the guaranteed bound (cannot drop entries) and returns 0."""
+    if not int(sr_entries):
+        return 0
+    if boundary == "periodic":
+        nc, sub = _periodic_cells(int(grid), int(cutoff_cells))
+        n_cells = (nc + 2 * sub) ** 3
+    else:
+        nc, _ = _cell_grid_params(int(grid), int(cutoff_cells))
+        n_cells = nc ** 3
+    ns = pos.shape[1]
+    cap, s_max, e_max = _sr_sizing(ns, ns, n_cells, capacity,
+                                   sr_slabs, sr_entries)
+    sym, pr = _active_sr_layout(s_max + 1)
+    _, e4, _ = _sr_plan_counts(pos, mass, int(grid), int(cutoff_cells),
+                               cap, boundary, float(box_size))
+    n_e = int(e4[int(sym) + 2 * int(pr)])
+    return max(0, n_e - e_max)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -159,14 +159,14 @@ class _DeviceRunner(_BlockRunner):
             # the data inside the compiled block — size them here from
             # the CONCRETE initial state (clustered cores make occupancy
             # wildly data-dependent; pm.suggest_sr_plan).
-            cfg.resolve_sr_plan(state.pos, state.mass)
-            self._sr_health = cfg.nsteps > 0
             # Short-range sweep layout: the explicit --pm-sr-layout
             # override wins; otherwise --autotune races the layouts
-            # on-device with the measured plan above (the P3M analog of
-            # the tile sweep — pm.SR_LAYOUTS / autotune_sr_layout).
-            # Layout globals are read at trace time, so this must land
-            # before the accel fn below is first traced.
+            # on-device (each candidate self-sizes its plan — the P3M
+            # analog of the tile sweep; pm.SR_LAYOUTS /
+            # autotune_sr_layout).  Layout globals are read at trace
+            # time AND at plan-suggestion time (suggest_sr_plan sizes
+            # sr_entries for the ACTIVE layout), so the layout must
+            # land before resolve_sr_plan below.
             from .ops import pm as _pm
 
             if cfg.pm_sr_layout:
@@ -183,6 +183,8 @@ class _DeviceRunner(_BlockRunner):
                 )
                 self._sr_layout_prev = _pm.set_sr_layout(
                     cfg.pm_sr_layout)
+            cfg.resolve_sr_plan(state.pos, state.mass)
+            self._sr_health = cfg.nsteps > 0
             self.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
         if cfg.fused:
             family = "fused"
@@ -235,6 +237,16 @@ class _DeviceRunner(_BlockRunner):
             def _valid(c):
                 if sym_per:  # tile_i overrides the sym-chunk block size
                     return c[0] <= sym_per and sym_per % c[0] == 0
+                if online_family == "fused":
+                    # Mirror autotune._time_fused: a candidate whose
+                    # layout cap (rows-only vs rectangular columns)
+                    # cannot hold N deterministically raises — each
+                    # such attempt burns two remote compiles (1-300 s)
+                    # before being discarded.
+                    from .ops.fused_block import fused_cap
+
+                    if local > fused_cap(*c):
+                        return False
                 return local % c[0] == 0 and local % c[1] == 0
 
             cands = [c for c in DEFAULT_CANDIDATES[online_family]
@@ -552,7 +564,18 @@ class _DeviceRunner(_BlockRunner):
             ghosts = pm.ghost_overflow_count(
                 self.state.pos, self.state.mass, grid, cutoff,
                 sr_ghosts=cfg.pm_sr_ghosts, box_size=cfg.pm_box)
-        if frac <= self.SR_HEALTH_MAX_OVERFLOW and not ghosts:
+        # Worklist entry overflow: the runtime guard that makes
+        # per-layout plan sizing safe (suggest_sr_plan sizes sr_entries
+        # for the ACTIVE layout only; dropped entries silently lose
+        # their whole short-range correction, so any overflow is
+        # degradation — no fraction threshold).
+        entries = pm.sr_entry_overflow(
+            self.state.pos, self.state.mass, grid, cutoff,
+            capacity=cfg.pm_capacity, sr_slabs=cfg.pm_sr_slabs,
+            sr_entries=cfg.pm_sr_entries, boundary=cfg.pm_boundary,
+            box_size=cfg.pm_box)
+        if (frac <= self.SR_HEALTH_MAX_OVERFLOW and not ghosts
+                and not entries):
             return
         import sys
 
@@ -567,6 +590,8 @@ class _DeviceRunner(_BlockRunner):
 
         detail = (f"cell overflow {frac:.1%}"
                   + (f", {ghosts} ghost images dropped" if ghosts
+                     else "")
+                  + (f", {entries} worklist entries dropped" if entries
                      else ""))
         if not cfg.pm_replan:
             if not self._sr_warned:
@@ -577,6 +602,8 @@ class _DeviceRunner(_BlockRunner):
                     "toward pure PM for the overflowed pairs"
                     + (";\n# dropped ghosts lose their short-range term "
                        "entirely" if ghosts else "")
+                    + (";\n# dropped worklist entries lose their "
+                       "short-range term entirely" if entries else "")
                     + ").  Rerun with --pm-replan to re-measure "
                     "mid-run, or raise --pm-capacity."
                 )

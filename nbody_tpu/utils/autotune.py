@@ -317,14 +317,33 @@ def autotune_sr_layout(
         _memory_cache[key] = disk[key]
         return disk[key]
 
-    def body(_, p):
-        acc = pm.accelerations(p, mass, **opts)
-        return p + np.float32(1e-30) * acc
-
     best, best_t = None, float("inf")
     for name in names:
         prev = pm.set_sr_layout(name)
         try:
+            # Each candidate self-sizes its static plan: sr_entries is
+            # sized per-layout (suggest_sr_plan), so racing every
+            # layout under ONE caller plan would either starve the
+            # bigger worklists (silently dropped entries — wrong
+            # forces AND wrong timings) or tax the clipped ones with
+            # ~8x dead padding.  Caller-pinned fields win; unpinned
+            # ones are re-measured under the candidate layout.
+            cand = dict(opts)
+            plan = pm.suggest_sr_plan(
+                pos, mass,
+                int(opts.get("grid") or pm.DEFAULT_GRID),
+                int(opts.get("cutoff_cells") or 0),
+                capacity=int(opts.get("capacity") or 0),
+                boundary=opts.get("boundary", "open"),
+                box_size=float(opts.get("box_size") or 0.0))
+            for k, v in plan.items():
+                if not int(cand.get(k) or 0):
+                    cand[k] = v
+
+            def body(_, p, _kw=cand):
+                acc = pm.accelerations(p, mass, **_kw)
+                return p + np.float32(1e-30) * acc
+
             t = _diff_time(_loop_runner(body, pos), loops)
         finally:
             pm.set_sr_layout(prev)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""In-context ablation of the open-boundary P3M step.
+"""In-context ablation of the P3M step (open or periodic boundary).
 
 The round-3 stage profile (scripts/exp_p3m_profile.py,
 logs/hw_contact/p3m_profile.log) timed each stage in ISOLATION and left
@@ -28,8 +28,14 @@ step's structure does not):
                 LAST: its `binned` stub would otherwise flip the
                 overflow cond and conflate the rungs)
 
+Periodic mode (--boundary periodic --box 1.0) times the production
+step (frozen-spectra mesh_env) and swaps the ladder for the periodic
+stages: a `noenv` rung (per-step spectra rebuild — the round-4 env
+miss), a `-ghosts` rung (_ghost_images: the 7N-candidate cumsum +
+scatter compaction), and the periodic over/force-grid path.
+
 Run: python scripts/exp_p3m_ablate.py [--sizes 262144] [--reps 4]
-     [--dists plummer] [--cpu]
+     [--dists plummer] [--cpu] [--boundary periodic --box 1.0]
 """
 
 from __future__ import annotations
@@ -57,19 +63,23 @@ def _time_loop(make_run, base_reps):
     return max(t(2 * L) - t(L), 1e-9) / L
 
 
-def _timed_full(pos, mass, ng, cutoff, plan, reps):
+def _timed_full(pos, mass, ng, cutoff, plan, reps, bkw=None, env=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from nbody_tpu.ops import pm
 
+    kw = dict(bkw or {})
+    if env is not None:
+        kw["mesh_env"] = env
+
     def make_run(k):
         @jax.jit
         def run(pos, mass):
             def body(i, carry):
                 acc = pm.accelerations(pos + carry, mass, grid=ng,
-                                       cutoff_cells=cutoff, **plan)
+                                       cutoff_cells=cutoff, **plan, **kw)
                 return acc[0, 0]
 
             return lax.fori_loop(0, k, body, jnp.float32(0))
@@ -142,31 +152,50 @@ def _stubs():
             for k in (kx, ky, kz)])
         return g, jnp.zeros_like(g)
 
+    def z_ghosts(pos_w, mass, box, rc, gcap):
+        # Consume pos/mass (probe) or XLA folds the candidate build +
+        # cumsum + scatter into this rung's upstream and the delta lies.
+        probe = (jnp.sum(pos_w) + jnp.sum(mass)) * f32(1e-38)
+        return (jnp.zeros((3, gcap), f32) + probe,
+                jnp.zeros((gcap,), f32), jnp.zeros((), i32))
+
+    def per_plain_grids(rho_hat, rho_over_hat_fn, comb, comp, has_over):
+        g = jnp.stack([jnp.fft.ifftn(rho_hat * c).real for c in comb])
+        return g, jnp.zeros_like(g)
+
     return dict(sweep=dict(_sr_sweep_pallas=z_sweep, _sr_sweep=z_sweep),
                 ranges=dict(_sr_ranges=z_ranges),
                 pack=dict(_sr_pack=z_pack),
                 spectra=dict(_p3m_spectra=z_spectra),
-                over=dict(_p3m_force_grids=plain_grids))
+                over=dict(_p3m_force_grids=plain_grids),
+                ghosts=dict(_ghost_images=z_ghosts),
+                per_over=dict(_periodic_p3m_force_grids=per_plain_grids))
 
 
-def profile_one(state, ng, cutoff, reps, label):
+def profile_one(state, ng, cutoff, reps, label, boundary="open",
+                box=0.0):
     import jax.numpy as jnp
 
     from nbody_tpu.ops import pm
 
     f32 = jnp.float32
     pos, mass = state.pos.astype(f32), state.mass.astype(f32)
-    plan = pm.suggest_sr_plan(pos, mass, ng, cutoff)
+    periodic = boundary == "periodic"
+    bkw = (dict(boundary="periodic", box_size=box) if periodic else {})
+    plan = pm.suggest_sr_plan(pos, mass, ng, cutoff, **bkw)
     print(f"# {label}: plan={plan}", flush=True)
     stubs = _stubs()
+    env = (pm.make_mesh_env(pos, mass, grid=ng, cutoff_cells=cutoff,
+                            **bkw) if periodic else None)
 
     rows = []
 
-    def rec(name, patches, layout=None):
+    def rec(name, patches, layout=None, env_row=env):
         prev = pm.set_sr_layout(layout) if layout else None
         try:
             with _patched(**patches):
-                t = _timed_full(pos, mass, ng, cutoff, plan, reps)
+                t = _timed_full(pos, mass, ng, cutoff, plan, reps,
+                                bkw=bkw, env=env_row)
         finally:
             if prev:
                 pm.set_sr_layout(prev)
@@ -178,6 +207,16 @@ def profile_one(state, ng, cutoff, reps, label):
 
     acc = {}
     rec("full", dict(acc))
+    if periodic:
+        # Ladder order: each rung must not flip a structure an earlier
+        # rung still measures — ghosts BEFORE pack (pack keeps its
+        # shapes), over before pack (z_pack's all-True binned would
+        # flip the cond), pack last.
+        rec("noenv", dict(acc), env_row=None)
+        for key in ("sweep", "ranges", "ghosts", "per_over", "pack"):
+            acc.update(stubs[key])
+            rec("-" + key.replace("per_", ""), dict(acc))
+        return rows
     rec("lay:psym", dict(acc), layout="pallas_paired_sym")
     for key in ("sweep", "ranges", "over", "spectra", "pack"):
         acc.update(stubs[key])
@@ -191,6 +230,9 @@ def main():
     p.add_argument("--ng", type=int, default=128)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--dists", default="plummer")
+    p.add_argument("--boundary", default="open",
+                   choices=("open", "periodic"))
+    p.add_argument("--box", type=float, default=1.0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -213,7 +255,8 @@ def main():
             state = make_state(n, pad_multiple=1024, distribution=dist,
                                seed=42 if dist == "reference" else 7)
             profile_one(state, args.ng, cutoff, args.reps,
-                        f"{dist}/{n}")
+                        f"{dist}/{n}", boundary=args.boundary,
+                        box=args.box)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,10 @@ def crossover(args):
     from nbody_tpu.models.gravity import make_accel_fn, make_block_fn
     from nbody_tpu.ops import pm
 
-    sizes = [65536] if args.quick else [65536, 262144, 1048576]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    else:
+        sizes = [65536] if args.quick else [65536, 262144, 1048576]
     print(f"{'dist':>11} {'N':>8} {'tier':>6} {'ms/step':>9} "
           f"{'vs exact':>9} {'rel err':>9} {'cap':>5}")
     for dist in ("reference", "plummer"):
@@ -65,6 +68,11 @@ def crossover(args):
                         lambda p, m: pm.make_mesh_env(
                             p, m, cutoff_cells=pm.DEFAULT_CUTOFF_CELLS)),
             }
+            if args.tiers:
+                # e.g. --tiers pm,p3m at N=4M: the exact baseline is
+                # ~51 s/step there (16x its 1M time) — measured to
+                # minutes of wall for a column we already know.
+                tiers = {k: tiers[k] for k in args.tiers.split(",")}
             t_exact = None
             for name, (fn, env_fn) in tiers.items():
                 # adaptive step count ~0.5 s of work per timed run
@@ -75,7 +83,12 @@ def crossover(args):
                 out, ke = b(state)
                 float(ke)
                 t1 = max(time.perf_counter() - t0, 1e-4)
-                steps = max(2, min(500, int(0.5 / t1)))
+                # >=4 steps and ~2 s of work per timed run: at N=1M the
+                # old 0.5 s budget degenerated to 2-step blocks whose
+                # 1-step difference read ~30% high vs the 4-step
+                # protocol (448 vs 336 ms for the same open-p3m config,
+                # p3m_stress_r5.log vs periodic_ab_r5.log).
+                steps = max(4, min(500, int(2.0 / t1)))
                 t = _per_step(lambda k: make_block_fn(fn, 0.1, k,
                                                       env_fn=env_fn),
                               state, steps)
@@ -83,7 +96,8 @@ def crossover(args):
                     t_exact, err = t, 0.0
                     sp = "1.0x"
                 else:
-                    sp = f"{t_exact/t:.1f}x"
+                    sp = (f"{t_exact/t:.1f}x" if t_exact is not None
+                          else "-")
                     if n <= 131072:
                         err = float(pm.force_error_vs_exact(
                             state.pos, state.mass,
@@ -148,6 +162,10 @@ def collapse(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--sizes", default="",
+                   help="comma list of N overriding the default ladder")
+    p.add_argument("--tiers", default="",
+                   help="comma subset of exact,pm,p3m (default: all)")
     p.add_argument("--skip-collapse", action="store_true")
     p.add_argument("--skip-crossover", action="store_true")
     p.add_argument("--cpu", action="store_true",

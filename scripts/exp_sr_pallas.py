@@ -33,15 +33,17 @@ def _pack(pos, mass, ng, cutoff, symmetric=False, paired=False):
     from nbody_tpu.ops import pm
 
     if pm.SLAB == 64:
-        plan = pm.suggest_sr_plan(pos, mass, ng, cutoff)
+        # This script A/Bs several (symmetric, paired) layouts under
+        # ONE plan — size for the full worklist so none starve.
+        plan = pm.suggest_sr_plan(pos, mass, ng, cutoff, layout="full")
     else:
         # suggest_sr_plan's jitted counts cache does not key on the
         # monkeypatched pm.SLAB — build a FRESH jit so the SLAB=128
         # probe gets correctly sized (not 2x/4x oversized) tables.
         cap0 = pm.suggest_capacity(pos, mass, ng, cutoff)
         counts = jax.jit(pm._sr_plan_counts.__wrapped__,
-                         static_argnums=(2, 3, 4, 5, 6, 7))
-        s_c, e_c, _ = counts(pos, mass, ng, cutoff, cap0, False)
+                         static_argnums=(2, 3, 4, 5, 6))
+        s_c, e4_c, _ = counts(pos, mass, ng, cutoff, cap0)
 
         def pow2(x):
             v = 64
@@ -50,7 +52,7 @@ def _pack(pos, mass, ng, cutoff, symmetric=False, paired=False):
             return v
 
         plan = {"capacity": cap0, "sr_slabs": pow2(int(s_c) * 1.5),
-                "sr_entries": pow2(int(e_c) * 1.5)}
+                "sr_entries": pow2(int(e4_c[0]) * 1.5)}
     pk = pm.sr_pack_inputs(pos, mass, grid=ng, cutoff_cells=cutoff,
                            symmetric=symmetric, paired=paired, **plan)
     pk["e_lim"] = int(pk["n_e"])

@@ -54,16 +54,39 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
     unroll = {"unroll2": 2, "unroll4": 4}.get(variant, 1)
     rsqrt6 = variant == "rsqrt6"  # u = rsqrt(d2^3): squarings overlap
     # the previous tile's rsqrt instead of serializing after it
+    # pipe2: 2-tile SOFTWARE pipeline — both tiles' pair terms are
+    # produced before either tile's reductions run, widening the
+    # independent-op window past unroll2's jt_one;jt_one order (the
+    # reduction ORDER is unchanged, so sums stay bit-identical).
+    pipe2 = variant == "pipe2"
+    # dbuf: double-buffered i-tile relayout (ROADMAP "per-i-tile
+    # relayout elimination") — tile it+1's (8,B)->(B,8) transpose is
+    # issued right after tile it's diagonal block, independent of the
+    # j sweep, so it hides in the sweep's issue bubbles instead of
+    # serializing at the next tile's head.  Scratch is (2B, 8); tile
+    # parity picks the half.
+    dbuf = variant == "dbuf"
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    if dbuf:
+        # Prologue: tile 0 into buffer half 0.
+        itile_s[pl.ds(0, B), :] = jnp.transpose(ps_rows[:, pl.ds(0, B)])
+
     def it_body(it, _):
         i0 = it * B
-        itile_s[...] = jnp.transpose(ps_rows[:, pl.ds(i0, B)])
-        xi = itile_s[:, 0:1]
-        yi = itile_s[:, 1:2]
-        zi = itile_s[:, 2:3]
-        gmi = itile_s[:, 3:4]
+        if dbuf:
+            half = (it % 2) * B
+            xi = itile_s[pl.ds(half, B), 0:1]
+            yi = itile_s[pl.ds(half, B), 1:2]
+            zi = itile_s[pl.ds(half, B), 2:3]
+            gmi = itile_s[pl.ds(half, B), 3:4]
+        else:
+            itile_s[...] = jnp.transpose(ps_rows[:, pl.ds(i0, B)])
+            xi = itile_s[:, 0:1]
+            yi = itile_s[:, 1:2]
+            zi = itile_s[:, 2:3]
+            gmi = itile_s[:, 3:4]
 
         def pair_terms(j0, w_lanes):
             xj = ps_rows[0:1, pl.ds(j0, w_lanes)]
@@ -83,6 +106,13 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
             return w * dx, w * dy, w * dz
 
         px, py, pz = pair_terms(i0, B)  # diagonal tile
+
+        if dbuf:
+            # Next tile's relayout NOW — independent of the j sweep
+            # below, so the scheduler can sink it into sweep bubbles.
+            nxt = jnp.minimum(it + 1, nblocks - 1)
+            itile_s[pl.ds(((it + 1) % 2) * B, B), :] = jnp.transpose(
+                ps_rows[:, pl.ds(nxt * B, B)])
 
         if accs:
             acc_ref = scratch[0]  # (3, B, B) VMEM scratch
@@ -159,6 +189,30 @@ def _kernel(ps_rows, out_ref, itile_s, *scratch, block, nblocks, variant):
             accx, accy, accz = lax.cond(
                 (nblocks - it - 1) % 2 == 1, tail, lambda a: a, acc
             )
+        elif pipe2:
+            nfull = (nblocks - it - 1) // 2
+
+            def jt_pipe(k, acc):
+                ax, ay, az = acc
+                j0 = (it + 1 + 2 * k) * B
+                # BOTH tiles' geometry first (independent), reductions
+                # after, in tile order (bit-identical sums vs unroll2).
+                p0 = pair_terms(j0, B)
+                p1 = pair_terms(j0 + B, B)
+                ax += jnp.sum(p0[0], axis=1, keepdims=True)
+                ay += jnp.sum(p0[1], axis=1, keepdims=True)
+                az += jnp.sum(p0[2], axis=1, keepdims=True)
+                jside_write(j0, B, *p0)
+                ax += jnp.sum(p1[0], axis=1, keepdims=True)
+                ay += jnp.sum(p1[1], axis=1, keepdims=True)
+                az += jnp.sum(p1[2], axis=1, keepdims=True)
+                jside_write(j0 + B, B, *p1)
+                return (ax, ay, az)
+
+            acc = lax.fori_loop(0, nfull, jt_pipe, (accx, accy, accz))
+            accx, accy, accz = lax.fori_loop(
+                it + 1 + 2 * nfull, nblocks,
+                lambda jt, a: jt_one(jt * B, a), acc)
         elif unroll > 1:
             # Manual unroll (fori_loop's unroll= needs static bounds):
             # `unroll` independent (B,B) tiles per iteration so their
@@ -209,7 +263,8 @@ def accelerations(pos, mass, *, block, variant, interpret=False,
                   vmem_limit=100 * 2**20):
     n = pos.shape[1]
     ps_rows = pack_particles(pos, mass)
-    scratches = [pltpu.VMEM((block, 8), jnp.float32)]
+    scratches = [pltpu.VMEM(
+        (2 * block if variant == "dbuf" else block, 8), jnp.float32)]
     if variant == "accs":
         scratches.append(pltpu.VMEM((3, block, block), jnp.float32))
     out = pl.pallas_call(

@@ -413,9 +413,12 @@ def test_engine_sr_layout_wiring(tmp_path, monkeypatch):
         # applies to its run; later runs see the module defaults)
         assert applied[0] == "pallas_sym"
         assert pm.sr_layout_state() == orig
-        # the tuner saw the MEASURED plan, not the guaranteed bounds
-        assert calls["opts"].get("capacity")
-        assert calls["opts"].get("sr_slabs")
+        # Round 5: the race runs BEFORE plan resolution (plans are
+        # sized per-layout now, so each candidate self-sizes inside
+        # autotune_sr_layout); the engine then resolves the plan under
+        # the applied winner.
+        assert not calls["opts"].get("sr_slabs")
+        assert cfg.pm_capacity and cfg.pm_sr_slabs and cfg.pm_sr_entries
 
         # explicit --pm-sr-layout wins without calling the tuner
         calls.clear()

@@ -185,17 +185,99 @@ def test_sr_worklist_count_independent_of_slab_padding():
 
     st = make_state(12288, distribution="reference", seed=3)
     plan = pm.suggest_sr_plan(st.pos, st.mass, 64, 4)
+    # Plans are sized for the ACTIVE layout — pack the worklist the
+    # production solver would realize for this plan.
+    sym, pr = pm._active_sr_layout(plan["sr_slabs"] + 1)
     base = pm.sr_pack_inputs(st.pos, st.mass, grid=64, cutoff_cells=4,
                              sr_slabs=plan["sr_slabs"],
-                             sr_entries=plan["sr_entries"])
+                             sr_entries=plan["sr_entries"],
+                             symmetric=sym, paired=pr)
     # the realized production worklist fits the plan it was measured for
     assert int(base["n_e"]) <= base["e_max"], (int(base["n_e"]),
                                                base["e_max"])
+    # and the overflow guard agrees: zero on the very state it was
+    # sized from
+    assert pm.sr_entry_overflow(st.pos, st.mass, 64, 4,
+                                capacity=plan["capacity"],
+                                sr_slabs=plan["sr_slabs"],
+                                sr_entries=plan["sr_entries"]) == 0
     # and the count is a property of the DATA, not of the table padding
     padded = pm.sr_pack_inputs(st.pos, st.mass, grid=64, cutoff_cells=4,
                                sr_slabs=2 * plan["sr_slabs"],
-                               sr_entries=4 * plan["sr_entries"])
+                               sr_entries=4 * plan["sr_entries"],
+                               symmetric=sym, paired=pr)
     assert int(padded["n_e"]) == int(base["n_e"])
+
+
+def test_suggest_sr_plan_per_layout_sizing():
+    """suggest_sr_plan sizes sr_entries for the requested/active layout:
+    the clipped layouts carry fewer entries than the full worklist, an
+    explicit layout name respects the pallas eligibility gates, and
+    every per-layout plan still reproduces the full-plan forces when
+    run under ITS OWN layout."""
+    pos, _, mass = plummer(4096, seed=5)
+    full = pm.suggest_sr_plan(pos, mass, 64, 4, layout="full")
+    sym = pm.suggest_sr_plan(pos, mass, 64, 4, layout="pallas_sym")
+    assert sym["sr_entries"] <= full["sr_entries"]
+    # paired sizing requires the pallas sweep to be eligible; force it
+    # (interpret mode runs it on CPU).
+    prev = pm.set_sr_layout(("pallas", True, True))
+    try:
+        prsym = pm.suggest_sr_plan(pos, mass, 64, 4)
+        assert prsym["sr_entries"] <= sym["sr_entries"]
+        a_pr = np.asarray(pm.accelerations(pos, mass, grid=64,
+                                           cutoff_cells=4, **prsym))
+    finally:
+        pm.set_sr_layout(prev)
+    a_full = np.asarray(pm.accelerations(pos, mass, grid=64,
+                                         cutoff_cells=4, **full))
+    scale = np.abs(a_full).max()
+    np.testing.assert_allclose(a_pr, a_full, rtol=0, atol=3e-5 * scale)
+    with pytest.raises(ValueError):
+        pm.suggest_sr_plan(pos, mass, 64, 4, layout="nope")
+
+
+def test_sr_entry_overflow_guard():
+    """The runtime guard behind per-layout plan sizing: zero on the
+    state a plan was measured from, positive when the static
+    sr_entries would drop live worklist entries, zero for the
+    guaranteed (sr_entries=0) bounds."""
+    pos, _, mass = plummer(4096, seed=6)
+    plan = pm.suggest_sr_plan(pos, mass, 64, 4)
+    assert pm.sr_entry_overflow(pos, mass, 64, 4, **plan) == 0
+    starved = dict(plan, sr_entries=64)
+    over = pm.sr_entry_overflow(pos, mass, 64, 4, **starved)
+    assert over > 0
+    assert pm.sr_entry_overflow(pos, mass, 64, 4,
+                                capacity=plan["capacity"]) == 0
+
+
+def test_engine_replans_on_entry_overflow():
+    """simulation._check_sr_health treats dropped worklist entries as
+    plan degradation: under --pm-replan a starved pinned sr_entries
+    plan grows after the first sample block."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.models.gravity import make_accel_fn
+    from nbody_tpu.simulation import _DeviceRunner
+
+    cfg = SimConfig(n=2048, nsteps=4, sfreq=2, kernel="p3m", pm_grid=64,
+                    pm_cutoff=4, distribution="plummer", dt=1e-6,
+                    pm_replan=True)
+    sim = _DeviceRunner(cfg)
+    sim.prepare()
+    plan_full = pm.suggest_sr_plan(sim.state.pos, sim.state.mass, 64, 4,
+                                   layout="full")
+    # Starve the plan mid-flight (as clustering drift would) and let
+    # the per-block health check catch and regrow it.
+    cfg.pm_sr_entries = 64
+    sim._blocks.clear()
+    sim.accel_fn = make_accel_fn(cfg.kernel, **cfg.kernel_opts())
+    sim._check_sr_health()
+    try:
+        assert cfg.pm_sr_entries > 64
+        assert cfg.pm_sr_entries <= plan_full["sr_entries"]
+    finally:
+        sim.finish()
 
 
 def test_p3m_overflow_momentum_symmetric():
@@ -514,10 +596,11 @@ def test_sr_symmetric_knob_end_to_end():
         plan = pm.suggest_sr_plan(pos, mass, 64, 4)
         a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
         pm.SR_SYMMETRIC = True
-        # Plans are always sized for the FULL worklist (knob-flip
-        # safety: a clipped-size plan would starve a later full trace).
+        # Plans are sized for the ACTIVE layout (the symmetric worklist
+        # keeps ~half the entries); a later bigger-layout trace is
+        # guarded at runtime by pm.sr_entry_overflow.
         plan_s = pm.suggest_sr_plan(pos, mass, 64, 4)
-        assert plan_s["sr_entries"] == plan["sr_entries"]
+        assert plan_s["sr_entries"] <= plan["sr_entries"]
         a_sym = np.asarray(pm.accelerations(pos, mass, **kw, **plan_s))
     finally:
         pm.set_sr_layout(prev)
@@ -1207,6 +1290,43 @@ def test_p3m_periodic_config_and_cell_validation():
                          boundary="periodic", box_size=1.0)
 
 
+def test_periodic_mesh_env_freezes_spectra():
+    """Periodic mesh_env (round-5: the round-4 'periodic p3m slower
+    than open' anomaly was the env being silently ignored on the
+    periodic dispatch): the frozen-spectra step must be EXACT vs the
+    in-trace rebuild (the spectra are run constants), for both plain
+    pm and p3m, and a boundary/grid-mismatched env must be rejected."""
+    pos, mass = _corner_blob(seed=11)
+    for cutoff in (0, 4):
+        kw = dict(grid=32, cutoff_cells=cutoff, boundary="periodic",
+                  box_size=1.0)
+        env = pm.make_mesh_env(pos, mass, **kw)
+        assert env, "periodic env must carry frozen spectra now"
+        spec = env["spectra"]
+        leaf = spec[0][0] if cutoff else spec[0]
+        assert leaf.shape == (32, 32, 32)  # ng^3, not (2ng)^3
+        a_env = np.asarray(pm.accelerations(pos, mass, mesh_env=env,
+                                            **kw))
+        a_ref = np.asarray(pm.accelerations(pos, mass, **kw))
+        # Same arithmetic, but not bit-identical: with the env the
+        # spectra arrive as executable INPUTS, without it XLA fuses
+        # their build into the spectral multiply and rounds the fused
+        # form differently — ulp-level drift only.
+        np.testing.assert_allclose(a_env, a_ref, rtol=0,
+                                   atol=1e-5 * np.abs(a_ref).max())
+    # open env into a periodic call (and vice versa) is a config error
+    env_open = pm.make_mesh_env(pos, mass, grid=32, cutoff_cells=4)
+    with pytest.raises(ValueError, match="different solver config"):
+        pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                         boundary="periodic", box_size=1.0,
+                         mesh_env=env_open)
+    env_per = pm.make_mesh_env(pos, mass, grid=32, cutoff_cells=4,
+                               boundary="periodic", box_size=1.0)
+    with pytest.raises(ValueError, match="different solver config"):
+        pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
+                         mesh_env=env_per)
+
+
 def test_p3m_periodic_sweep_variants_agree():
     """SR_SYMMETRIC and SR_PAIRED_ROWS (interpret-mode Pallas) through
     the FULL periodic solve agree with the default XLA sweep — the
@@ -1216,8 +1336,9 @@ def test_p3m_periodic_sweep_variants_agree():
 
     pos, mass = _corner_blob(seed=13)
     kw = dict(grid=32, cutoff_cells=4, boundary="periodic", box_size=1.0)
+    # One plan raced across every layout: size for the full worklist.
     plan = pm.suggest_sr_plan(pos, mass, 32, 4, boundary="periodic",
-                              box_size=1.0)
+                              box_size=1.0, layout="full")
     prev = pm.set_sr_layout(("xla", False, False))
     try:
         a_ref = np.asarray(pm.accelerations(pos, mass, **kw, **plan))
@@ -1457,9 +1578,12 @@ def test_mesh_env_freeze_first_step_exact():
     with pytest.raises(ValueError, match="different solver config"):
         pm.accelerations(pos, mass, grid=32, cutoff_cells=4,
                          mesh_env=env)
-    # periodic solves need no env
-    assert pm.make_mesh_env(pos, mass, grid=32, boundary="periodic",
-                            box_size=8.0) == {}
+    # periodic env: spectra-only, ng^3 (round 5) — the full periodic
+    # freeze/mismatch coverage lives in
+    # test_periodic_mesh_env_freezes_spectra.
+    env_per = pm.make_mesh_env(pos, mass, grid=32, boundary="periodic",
+                               box_size=8.0)
+    assert np.asarray(env_per["spectra"][0]).shape == (32, 32, 32)
 
 
 def test_mesh_env_block_matches_per_step_solve():

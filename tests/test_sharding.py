@@ -209,6 +209,38 @@ def test_sharded_mesh_solver_matches_single_device(kern, opts):
     assert float(ke) == pytest.approx(float(ref_ke), rel=1e-5)
 
 
+@pytest.mark.parametrize("kern,opts,integrator", [
+    ("pm", dict(grid=16), "euler"),
+    ("p3m", dict(grid=32, capacity=64), "euler"),
+    ("p3m", dict(grid=32, capacity=64), "leapfrog"),
+])
+def test_sharded_external_env_matches_internal(kern, opts, integrator):
+    """external_env=True (the sharded watchdog sub-block path) with ONE
+    frozen env across sub-blocks must reproduce the monolithic
+    internal-env block exactly: the env is frozen once per OUTER sample
+    block in both, so splitting the block must not be physically
+    observable.  Only exercised on real hardware when a sharded mesh
+    block exceeds the watchdog budget — this pins it on the CPU mesh
+    (round-4 advisor item)."""
+    n, steps = 512, 4
+    state = make_state(n, pad_multiple=8, distribution="plummer")
+    sharded, mesh = shard_state(state, 8)
+    mono = make_sharded_block_fn(kern, opts, 0.01, steps, mesh,
+                                 comm="allgather", integrator=integrator)
+    ref, ref_ke = mono(sharded)
+    run = make_sharded_block_fn(kern, opts, 0.01, steps // 2, mesh,
+                                comm="allgather", integrator=integrator,
+                                external_env=True)
+    env = run.make_env(sharded)
+    mid, _ = run(sharded, env)
+    out, ke = run(mid, env)
+    np.testing.assert_array_equal(np.asarray(out.pos),
+                                  np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel),
+                                  np.asarray(ref.vel))
+    assert float(ke) == pytest.approx(float(ref_ke), rel=1e-6)
+
+
 def test_sharded_p3m_forwards_measured_sr_plan(monkeypatch):
     """The sharded builder must pass the engine's measured SR plan
     (sr_slabs/sr_entries) through to pm.sharded_accelerations — dropping
