@@ -1061,6 +1061,20 @@ def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     # sort — reduces to an exclusive count + scatter (same result,
     # element-for-element: valid entries in order first, sentinel
     # entries in original order after).
+    #
+    # Formulation MEASURED on the v5e (round 5, 3-way in-context race:
+    # scripts/exp_pack_ab.py -> logs/hw_contact/pack_ab_r5.log).  The
+    # pord scatter stays a scatter: replacing it with searchsorted
+    # gathers (the _ghost_images trick) regressed the full p3m step
+    # ~2x (jnp.searchsorted's scan lowering — log2(N) SEQUENTIAL
+    # dynamic-slice rounds over the full array — loses to XLA's one
+    # sort when the query set is as big as the data).  The TABLE
+    # builds, by contrast, are gathers (slot k < n_bin is packed
+    # position k verbatim — the old .at[:, slot].set was an identity
+    # scatter), binned derives from pslot instead of a second scatter,
+    # and pslot declares unique indices: full p3m step 663 -> 617
+    # ms/step at Plummer 1M (pack stage 111 -> 67), 397 -> 371 at
+    # uniform 1M, neutral at 65k.
     vi = valid.astype(i32)
     nv = jnp.cumsum(vi) - vi  # valid entries strictly before i
     n_bin = jnp.sum(vi)
@@ -1074,12 +1088,13 @@ def _sr_pack(cid, pos, mass, n_cells: int, cap: int, s_max: int):
     ok = (ppos < n_bin) & (ppos < s_max * SLAB)
     slot = jnp.where(ok, ppos, nslots - 1)  # tail -> sentinel slot
     f32 = jnp.float32
-    ptab = jnp.zeros((3, nslots), f32).at[:, slot].set(
-        jnp.where(ok[None, :], pos[:, perm], f32(0)))
-    mtab = jnp.zeros((nslots,), f32).at[slot].set(
-        jnp.where(ok, mass[perm], f32(0)))
-    pslot = jnp.zeros((ns,), i32).at[perm].set(slot)
-    binned = jnp.zeros((ns,), bool).at[perm].set(ok)
+    kk = jnp.arange(nslots, dtype=i32)
+    okk = (kk < n_bin) & (kk < s_max * SLAB)
+    ksrc = jnp.minimum(kk, ns - 1)
+    ptab = jnp.where(okk[None, :], pos[:, perm[ksrc]], f32(0))
+    mtab = jnp.where(okk, mass[perm[ksrc]], f32(0))
+    pslot = jnp.zeros((ns,), i32).at[perm].set(slot, unique_indices=True)
+    binned = pslot != (nslots - 1)  # slot==sentinel iff not ok
     # Per-slab cid bounds (real slabs only; empty tail slots pinned to
     # n_cells so slab_lo AND slab_hi stay sorted for searchsorted).
     sidx = jnp.arange(s_max, dtype=i32) * SLAB

@@ -71,20 +71,25 @@ def _timed_full(pos, mass, ng, cutoff, plan, reps, bkw=None, env=None):
     from nbody_tpu.ops import pm
 
     kw = dict(bkw or {})
-    if env is not None:
-        kw["mesh_env"] = env
 
     def make_run(k):
         @jax.jit
-        def run(pos, mass):
+        def run(pos, mass, env_arg):
+            # env as a traced ARGUMENT, never a closure capture: jit
+            # would embed captured arrays as mlir CONSTANTS, which
+            # fetches them to host — and complex64 fetches raise
+            # UNIMPLEMENTED on this backend (periodic_ablate_r5.log).
+            ekw = dict(kw, mesh_env=env_arg) if env_arg else kw
+
             def body(i, carry):
                 acc = pm.accelerations(pos + carry, mass, grid=ng,
-                                       cutoff_cells=cutoff, **plan, **kw)
+                                       cutoff_cells=cutoff, **plan,
+                                       **ekw)
                 return acc[0, 0]
 
             return lax.fori_loop(0, k, body, jnp.float32(0))
 
-        return lambda: run(pos, mass)
+        return lambda: run(pos, mass, env)
 
     return _time_loop(make_run, reps)
 
