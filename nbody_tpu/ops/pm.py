@@ -434,18 +434,16 @@ def _ghost_images(pos_w, mass, box, rc, gcap: int):
     f32, i32 = jnp.float32, jnp.int32
     L = jnp.float32(box)
     one = jnp.ones((), i32)
+    n = pos_w.shape[1]
     sig = jnp.where(pos_w < rc, one,
                     jnp.where(pos_w > L - rc, -one, 0))  # (3, N)
-    cand_pos, cand_ok = [], []
+    cand_ok = []
     for c in _GHOST_COMBOS:
         cvec = jnp.asarray(c, i32)[:, None]
         shift = jnp.where(cvec == 1, sig, 0)
-        ok = jnp.all((cvec != 1) | (shift != 0), axis=0) & (mass > 0)
-        cand_pos.append(pos_w + L * shift.astype(f32))
-        cand_ok.append(ok)
-    cpos = jnp.concatenate(cand_pos, axis=1)  # (3, 7N)
-    cok = jnp.concatenate(cand_ok)
-    cmass = jnp.tile(mass, len(_GHOST_COMBOS))
+        cand_ok.append(
+            jnp.all((cvec != 1) | (shift != 0), axis=0) & (mass > 0))
+    cok = jnp.concatenate(cand_ok)  # (7N,) — candidates stay IMPLICIT
     # Compaction as a GATHER, not a scatter: slot g takes the candidate
     # where the inclusive ok-cumsum first reaches g+1 (an ok candidate
     # by construction; identical slot->candidate mapping to the
@@ -454,14 +452,24 @@ def _ghost_images(pos_w, mass, box, rc, gcap: int):
     # ~0.4 s/step of the periodic N=1M p3m anomaly (VERDICT r4 item 2;
     # logs/hw_contact/periodic_ab_r5.log) — while a searchsorted into
     # the monotone cumsum plus a gcap-sized gather rides the VPU.
+    # The candidate POSITIONS are never materialized (the former
+    # (3, 7N) shifted-copies build + its 7N gather was most of the
+    # remaining 106 ms ghost term, periodic_ablate_r5.log): candidate
+    # index src decodes as (combo ci, particle pi), and the gcap-sized
+    # decode gathers straight from the (3, N) inputs.
     cum = jnp.cumsum(cok.astype(i32))
     n_ghost = cum[-1]
     slots = jnp.arange(gcap, dtype=i32)
     src = jnp.searchsorted(cum, slots + 1, side="left")
     src = jnp.minimum(src, cok.shape[0] - 1)
     valid = slots < n_ghost
-    gpos = jnp.where(valid[None, :], cpos[:, src], f32(0))
-    gmass = jnp.where(valid, cmass[src], f32(0))
+    pi = src % n
+    ci = src // n
+    combos = jnp.asarray(_GHOST_COMBOS, i32).T  # (3, 7)
+    shift_g = jnp.where(combos[:, ci] == 1, sig[:, pi], 0)  # (3, gcap)
+    gpos = jnp.where(valid[None, :],
+                     pos_w[:, pi] + L * shift_g.astype(f32), f32(0))
+    gmass = jnp.where(valid, mass[pi], f32(0))
     return gpos, gmass, n_ghost
 
 
@@ -2463,19 +2471,25 @@ def sharded_accelerations(
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _make_periodic_env(ng: int, cutoff_cells: int, box: float) -> dict:
     """Frozen periodic mesh environment: the force-kernel spectra ONLY
-    (the box is fixed — no lo/hi to freeze).  These are constants of
-    the whole RUN (box/grid/cutoff are static), so freezing them in
-    the per-block env removes their in-trace rebuild from every step:
-    for p3m that rebuild is 3 ng^3 fftns + the ng^3 min-image kernel
-    sampling — the round-4 'periodic p3m 2.6x slower than open at
-    N=1M' anomaly (VERDICT r4), since the open path already froze its
-    spectra while the periodic dispatch silently ignored the env.
+    (the box is fixed — no lo/hi to freeze).
 
-    All-static jit (cached per config): the build must compile as ONE
-    executable — eagerly it is thousands of per-op tunnel dispatches,
-    and this backend's EAGER complex binops raise UNIMPLEMENTED
-    (logs/hw_contact/periodic_ablate_r5.log) while the identical jitted
-    graph compiles fine.  Callers inside an outer jit just inline."""
+    WHEN TO USE (measured, round 5 — periodic_ablate_r5.log): the
+    spectra are position-independent run constants, so inside a block
+    executable XLA already hoists their in-trace rebuild out of the
+    step loop — a cross-executable frozen env (~100 MB of complex64
+    inputs at ng=128) measured 25-45 ms/step SLOWER at N=1M than no
+    env at all.  The ENGINE therefore passes no env on periodic runs
+    (simulation._mesh_env_fn).  This builder exists for consumers
+    where the env does not cross an executable boundary (the sharded
+    internal-env block traces it inline — free) or where one env must
+    be frozen across watchdog sub-blocks (external_env), and for API
+    symmetry with the open-boundary env.
+
+    All-static jit (cached per config): called eagerly, the build must
+    compile as ONE executable — per-op dispatch costs minutes over the
+    tunnel, and this backend's EAGER complex binops raise UNIMPLEMENTED
+    while the identical jitted graph compiles fine.  Callers inside an
+    outer jit just inline."""
     if cutoff_cells:
         _, _, rc, _, _, _ = _periodic_geom(ng, int(cutoff_cells),
                                            float(box))

@@ -421,12 +421,27 @@ class _DeviceRunner(_BlockRunner):
         """Per-block frozen mesh environment builder (pm.make_mesh_env):
         robust box + force-kernel spectra computed once per sample block
         instead of every step (~34 ms/step of the Plummer-262k p3m step
-        — logs/hw_contact/p3m_ablate.log).  None for non-mesh kernels."""
+        — logs/hw_contact/p3m_ablate.log).  None for non-mesh kernels.
+
+        None for PERIODIC mesh runs too (measured, round 5): the open
+        env pays off because its spectra depend on the per-step robust
+        BOX, but periodic spectra are position-independent constants —
+        XLA already hoists their in-trace build out of the block's
+        fori_loop (one build per executable), while a frozen env
+        crosses the executable boundary as ~100 MB of complex inputs
+        every block and measured 25-45 ms/step SLOWER at N=1M
+        (periodic_ablate_r5.log full-vs-noenv, periodic_ab2_r5.log).
+        pm.make_mesh_env still builds periodic envs for callers that
+        trace the env INSIDE their own executable (the sharded
+        internal-env block) or need one frozen env across watchdog
+        sub-blocks."""
         if resolved not in ("pm", "p3m"):
             return None
         from .ops import pm as pm_ops
 
         ko = self.cfg.kernel_opts()
+        if ko.get("boundary", "open") == "periodic":
+            return None
         cutoff = ko.get("cutoff_cells", 0)
         if resolved == "p3m":
             cutoff = cutoff or pm_ops.DEFAULT_CUTOFF_CELLS

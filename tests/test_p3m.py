@@ -1609,3 +1609,25 @@ def test_mesh_env_block_matches_per_step_solve():
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
                                rtol=0, atol=1e-5 * scale)
     assert float(ke) == pytest.approx(float(ke_ref), rel=1e-4)
+
+
+def test_engine_skips_env_on_periodic_runs():
+    """Round-5 measured decision (DESIGN.md 'Periodic P3M cost
+    ledger'): periodic spectra are loop-invariant constants XLA hoists
+    inside the block executable, and a cross-executable frozen env
+    measured 25-45 ms/step SLOWER at N=1M — the engine must build an
+    env for OPEN mesh runs and NONE for periodic ones, and the
+    periodic run must still work end-to-end."""
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.simulation import _DeviceRunner, run
+
+    cfg = SimConfig(n=512, nsteps=2, sfreq=2, kernel="p3m", pm_grid=16,
+                    pm_boundary="periodic", pm_box=8.0)
+    sim = _DeviceRunner(cfg)
+    assert sim._mesh_env_fn("p3m") is None
+    assert sim._mesh_env_fn("pm") is None
+    open_cfg = SimConfig(n=512, nsteps=2, sfreq=2, kernel="p3m",
+                         pm_grid=16)
+    assert _DeviceRunner(open_cfg)._mesh_env_fn("p3m") is not None
+    result = run(cfg, quiet=True)
+    assert np.isfinite(result.samples[-1][2])
