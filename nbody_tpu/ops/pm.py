@@ -395,6 +395,27 @@ _GHOST_COMBOS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
                  (1, 0, 1), (0, 1, 1), (1, 1, 1))
 
 
+def _ghost_combo_table():
+    """(8, 7) lookup: row = bitmask of a particle's boundary axes
+    (axis j sets bit j), column r = index into _GHOST_COMBOS of its
+    r-th admissible shift combo (the nonempty subsets of the set
+    bits, in _GHOST_COMBOS order; a mask with k set bits has 2^k - 1
+    of them).  Unused tail columns repeat 0 — consumers mask by the
+    per-particle ghost count before the entries matter."""
+    cmb = [[0] * 7 for _ in range(8)]
+    for mask in range(8):
+        r = 0
+        for idx, c in enumerate(_GHOST_COMBOS):
+            cm = c[0] | (c[1] << 1) | (c[2] << 2)
+            if cm and (cm & mask) == cm:
+                cmb[mask][r] = idx
+                r += 1
+    return tuple(tuple(row) for row in cmb)
+
+
+_GHOST_COMBO_TABLE = _ghost_combo_table()
+
+
 def _default_ghost_cap(n: int) -> int:
     """Static ghost-slot bound when the caller gives none: 2N rounded to
     a power of two (a uniform box at the coarsest production cutoff
@@ -421,50 +442,66 @@ def _ghost_images(pos_w, mass, box, rc, gcap: int):
     Ghosts EXERT short-range force only; the forces they receive land
     in table slots nothing reads.
 
-    Static-shape compaction: candidates pack into ``gcap`` slots by an
-    exclusive cumsum; overflow beyond gcap is DROPPED.  Dropped ghosts
-    are WORSE than cell overflow: their cross-boundary pairs lose the
-    entire short-range term with NO complement compensation (the
-    parent binned, so activating the complement would double-count its
+    Static-shape compaction: candidates pack into ``gcap`` slots;
+    overflow beyond gcap is DROPPED.  Dropped ghosts are WORSE than
+    cell overflow: their cross-boundary pairs lose the entire
+    short-range term with NO complement compensation (the parent
+    binned, so activating the complement would double-count its
     interior field — see _periodic_p3m_between's degradation contract),
     leaving tapered long-range-only, momentum-leaking forces on the
     affected boundary pairs.  Size gcap from suggest_sr_plan's measured
     count and check ghost_overflow_count when in doubt.  Returns
-    (gpos (3, gcap), gmass (gcap,), n_ghost traced scalar)."""
+    (gpos (3, gcap), gmass (gcap,), n_ghost traced scalar).
+
+    TWO-STAGE compaction, both stages gathers (TPU scatters over a
+    candidate axis are sort-based executable monsters — ~0.4 s/step of
+    the round-4 periodic 1M anomaly, logs/hw_contact/periodic_ab_r5.log
+    — and candidate positions are never materialized either, the other
+    half of that anomaly, periodic_ablate_r5.log).  The round-5 single
+    cumsum/searchsorted chain over all 7N (combo, particle) candidates
+    was itself the dominant remaining ghost cost (~104 ms of the 1M
+    periodic step, periodic_ab4_r5.log), so boundary PARTICLES compact
+    first (one N-length cumsum into min(gcap, n) slots — each boundary
+    particle yields >= 1 image, so a particle set that overflows gcap
+    would overflow the ghost slots anyway), and ghost slots then decode
+    (parent, rank) against the per-particle image counts 2^k - 1 with
+    the (mask, rank) -> combo lookup _GHOST_COMBO_TABLE: the prefix
+    chains shrink 7N -> N + min(gcap, n).  The packed image MULTISET
+    is unchanged (order is particle-major instead of combo-major);
+    n_ghost stays the exact total image count regardless of gcap."""
     f32, i32 = jnp.float32, jnp.int32
     L = jnp.float32(box)
     one = jnp.ones((), i32)
     n = pos_w.shape[1]
     sig = jnp.where(pos_w < rc, one,
                     jnp.where(pos_w > L - rc, -one, 0))  # (3, N)
-    cand_ok = []
-    for c in _GHOST_COMBOS:
-        cvec = jnp.asarray(c, i32)[:, None]
-        shift = jnp.where(cvec == 1, sig, 0)
-        cand_ok.append(
-            jnp.all((cvec != 1) | (shift != 0), axis=0) & (mass > 0))
-    cok = jnp.concatenate(cand_ok)  # (7N,) — candidates stay IMPLICIT
-    # Compaction as a GATHER, not a scatter: slot g takes the candidate
-    # where the inclusive ok-cumsum first reaches g+1 (an ok candidate
-    # by construction; identical slot->candidate mapping to the
-    # previous cumsum-indexed scatter).  TPU scatters over the 7N
-    # candidate axis are sort-based executable monsters — this was
-    # ~0.4 s/step of the periodic N=1M p3m anomaly (VERDICT r4 item 2;
-    # logs/hw_contact/periodic_ab_r5.log) — while a searchsorted into
-    # the monotone cumsum plus a gcap-sized gather rides the VPU.
-    # The candidate POSITIONS are never materialized (the former
-    # (3, 7N) shifted-copies build + its 7N gather was most of the
-    # remaining 106 ms ghost term, periodic_ablate_r5.log): candidate
-    # index src decodes as (combo ci, particle pi), and the gcap-sized
-    # decode gathers straight from the (3, N) inputs.
-    cum = jnp.cumsum(cok.astype(i32))
-    n_ghost = cum[-1]
+    nz = sig != 0
+    k = nz[0].astype(i32) + nz[1].astype(i32) + nz[2].astype(i32)
+    live = (k > 0) & (mass > 0)
+    gc = jnp.where(live, (one << k) - 1, 0)  # images per particle
+    n_ghost = jnp.sum(gc)
+    # Stage 1: compact the boundary particles.
+    bcap = max(1, min(int(gcap), n))
+    cumb = jnp.cumsum(live.astype(i32))
+    bslots = jnp.arange(bcap, dtype=i32)
+    bidx = jnp.minimum(jnp.searchsorted(cumb, bslots + 1, side="left"),
+                       n - 1)
+    bvalid = bslots < cumb[-1]
+    sig_b = sig[:, bidx]  # (3, bcap)
+    nzb = sig_b != 0
+    k_b = nzb[0].astype(i32) + nzb[1].astype(i32) + nzb[2].astype(i32)
+    gc_b = jnp.where(bvalid, (one << k_b) - 1, 0)
+    cumg = jnp.cumsum(gc_b)
+    mask_b = (nzb[0].astype(i32) + 2 * nzb[1].astype(i32)
+              + 4 * nzb[2].astype(i32))
+    # Stage 2: ghost slot -> (boundary parent p, image rank) -> combo.
     slots = jnp.arange(gcap, dtype=i32)
-    src = jnp.searchsorted(cum, slots + 1, side="left")
-    src = jnp.minimum(src, cok.shape[0] - 1)
-    valid = slots < n_ghost
-    pi = src % n
-    ci = src // n
+    p = jnp.minimum(jnp.searchsorted(cumg, slots + 1, side="left"),
+                    bcap - 1)
+    valid = slots < cumg[-1]
+    rank = jnp.clip(slots - (cumg[p] - gc_b[p]), 0, 6)
+    ci = jnp.asarray(_GHOST_COMBO_TABLE, i32)[mask_b[p], rank]
+    pi = bidx[p]
     combos = jnp.asarray(_GHOST_COMBOS, i32).T  # (3, 7)
     shift_g = jnp.where(combos[:, ci] == 1, sig[:, pi], 0)  # (3, gcap)
     gpos = jnp.where(valid[None, :],

@@ -1148,6 +1148,56 @@ def test_ghost_images_cover_min_image_pairs():
     assert np.all(np.asarray(gmass)[:n_g] > 0)
 
 
+def test_ghost_images_multiset_and_truncation():
+    """The packed image MULTISET equals the brute-force enumeration
+    (every massive boundary particle x every admissible nonempty shift
+    combo), and a truncating gcap still packs exactly gcap live images
+    while n_ghost stays the exact total — pins the two-stage
+    boundary-compaction decode (_ghost_images / _GHOST_COMBO_TABLE)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n = 256
+    pos = np.asarray(rng.random((3, n)), np.float32)
+    mass = np.asarray(1.0 + rng.random(n), np.float32)
+    mass[:: 9] = 0.0  # padding particles never ghost
+    rc = 0.2
+    # Brute-force reference multiset of (x, y, z, m) image rows.
+    sig = (pos < rc).astype(int) - (pos > 1.0 - rc).astype(int)
+    want = []
+    for i in range(n):
+        if mass[i] <= 0:
+            continue
+        for c in pm._GHOST_COMBOS:
+            cv = np.asarray(c)
+            if np.all((cv != 1) | (sig[:, i] != 0)):
+                sh = np.where(cv == 1, sig[:, i], 0).astype(np.float32)
+                want.append([*(pos[:, i] + sh), mass[i]])
+    want = np.asarray(sorted(map(tuple, want)), np.float32)
+
+    gpos, gmass, n_g = pm._ghost_images(
+        jnp.asarray(pos), jnp.asarray(mass), 1.0, jnp.float32(rc),
+        7 * n)
+    assert int(n_g) == len(want)
+    live = np.asarray(gmass) > 0
+    got = np.concatenate(
+        [np.asarray(gpos)[:, live], np.asarray(gmass)[None, live]]).T
+    got = np.asarray(sorted(map(tuple, got)), np.float32)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+    gcap = len(want) // 2  # force truncation
+    gpos2, gmass2, n_g2 = pm._ghost_images(
+        jnp.asarray(pos), jnp.asarray(mass), 1.0, jnp.float32(rc), gcap)
+    assert int(n_g2) == len(want)  # exact count survives truncation
+    live2 = np.asarray(gmass2) > 0
+    assert int(live2.sum()) == gcap  # every slot packed
+    got2 = np.concatenate(
+        [np.asarray(gpos2)[:, live2], np.asarray(gmass2)[None, live2]]).T
+    want_set = set(map(tuple, want))
+    assert all(tuple(r) in want_set for r in np.asarray(got2, np.float32))
+
+
 def test_p3m_periodic_vs_kspace_sum():
     """The headline: on a corner-wrapped blob (boundary-crossing close
     pairs) periodic P3M lands near its mesh floor while plain periodic
